@@ -1,0 +1,176 @@
+"""Typed configuration for the MCL engine.
+
+Accepts the reference's ``mcl_config.yaml`` schema verbatim — including the
+ROS2 ``particle_filter: ros__parameters:`` nesting and the vestigial keys the
+reference node never reads (``range_method``, ``theta_discretization``,
+``rangelib_variant``, ``fine_timing``, frame names; see
+reference config/mcl_config.yaml:34-36,53-58).
+
+Parameter names, defaults and semantics mirror the reference's declarations
+(reference src/particle_filter.cpp:23-47).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Mapping
+
+import yaml
+
+# Keys the reference YAML carries but the node never declares/reads
+# (reference config/mcl_config.yaml:13,34-36,53-58). We accept and ignore them.
+VESTIGIAL_KEYS = frozenset(
+    {
+        "range_method",
+        "theta_discretization",
+        "rangelib_variant",
+        "fine_timing",
+        "map_frame",
+        "base_frame",
+        "laser_frame",
+        "sim_mode",
+    }
+)
+
+
+@dataclass(frozen=True)
+class MCLConfig:
+    """All engine parameters. Defaults match reference src/particle_filter.cpp:23-47."""
+
+    # --- core ---
+    angle_step: int = 18  # lidar downsample stride
+    max_particles: int = 2000
+    max_viz_particles: int = 60
+    squash_factor: float = 2.2  # likelihood ^= 1/squash_factor
+    max_range: float = 12.0  # meters
+    max_pose_range: float = 10000.0  # |x|,|y| bound for pose validity
+    delay_compensation_factor: float = 1.5
+
+    # --- sensor model (4-component beam model) ---
+    z_hit: float = 0.80
+    z_short: float = 0.01
+    z_max: float = 0.07
+    z_rand: float = 0.12
+    sigma_hit: float = 8.0  # in PIXELS (the reference LUT is in px units)
+
+    # --- motion model noise (std-dev, per step) ---
+    motion_dispersion_x: float = 0.05
+    motion_dispersion_y: float = 0.025
+    motion_dispersion_theta: float = 0.25
+
+    # --- robot geometry ---
+    lidar_offset_x: float = 0.0
+    lidar_offset_y: float = 0.0
+    wheelbase: float = 0.325  # declared but unused in propagation, as in reference
+
+    # --- runtime / io ---
+    scan_topic: str = "/scan"
+    odom_topic: str = "/odom"
+    publish_odom: bool = True
+    viz: bool = True
+    timer_frequency: float = 100.0  # Hz of the host update loop
+
+    # --- engine knobs (new; TPU-native) ---
+    use_parallel_raycasting: bool = True  # kept for config compat; engine is always batched
+    num_threads: int = 0  # used by the native host raycaster (0 = auto)
+    raycast_method: str = "sphere"  # "sphere" (EDT marching) | "dda" (reference-exact)
+    sphere_march_iters: int = 48  # fixed sphere-marching trip count
+    resample_method: str = "systematic"  # "systematic" | "multinomial" (reference compat)
+    exact_dt_heuristic: bool = True  # reproduce reference dt reconstruction (:452-471)
+    dtype: str = "float32"
+    seed: int = 0
+
+    # --- map (from the map_server section / launch arg) ---
+    map_name: str = "sibal1"
+    map_dir: str = ""
+
+    @property
+    def inv_squash_factor(self) -> float:
+        return 1.0 / self.squash_factor
+
+    def max_range_px(self, resolution: float) -> int:
+        """MAX_RANGE_PX = max_range / map_resolution (reference :195)."""
+        return int(self.max_range / resolution)
+
+    def replace(self, **kw: Any) -> "MCLConfig":
+        return dataclasses.replace(self, **kw)
+
+
+_FIELD_NAMES = {f.name for f in dataclasses.fields(MCLConfig)}
+
+# Keys in the engine that don't exist in the reference YAML get engine defaults;
+# reference YAML keys that have no engine field must be vestigial or error.
+_BOOL_FIELDS = {
+    f.name for f in dataclasses.fields(MCLConfig) if f.type in ("bool", bool)
+}
+
+
+def _coerce(name: str, value: Any) -> Any:
+    """Coerce YAML scalars to the dataclass field types."""
+    for f in dataclasses.fields(MCLConfig):
+        if f.name != name:
+            continue
+        ftype = f.type if isinstance(f.type, str) else f.type.__name__
+        if ftype == "int":
+            return int(value)
+        if ftype == "float":
+            return float(value)
+        if ftype == "bool":
+            if isinstance(value, str):
+                return value.strip().lower() in ("1", "true", "yes", "on")
+            return bool(value)
+        if ftype == "str":
+            return str(value)
+    return value
+
+
+def config_from_dict(params: Mapping[str, Any], strict: bool = False) -> MCLConfig:
+    """Build an :class:`MCLConfig` from a flat parameter mapping.
+
+    Unknown keys are tolerated like the reference node tolerates vestigial
+    YAML keys; with ``strict=True``, unknown non-vestigial keys raise.
+    """
+    kw: dict[str, Any] = {}
+    for key, value in params.items():
+        if key in _FIELD_NAMES:
+            kw[key] = _coerce(key, value)
+        elif key in VESTIGIAL_KEYS:
+            continue
+        elif strict:
+            raise KeyError(f"Unknown MCL config key: {key!r}")
+    return MCLConfig(**kw)
+
+
+def load_config(path: str | Path, strict: bool = False) -> MCLConfig:
+    """Load a config YAML in the reference's schema.
+
+    Handles both the nested ROS2 layout::
+
+        particle_filter:
+          ros__parameters:
+            max_particles: 2000
+            ...
+        map_server:
+          ros__parameters:
+            map: 'sibal1'
+
+    and a flat ``key: value`` layout.
+    """
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+
+    params: dict[str, Any] = {}
+    if "particle_filter" in raw and isinstance(raw["particle_filter"], dict):
+        params.update(raw["particle_filter"].get("ros__parameters", {}) or {})
+    else:
+        params.update({k: v for k, v in raw.items() if k not in ("map_server",)})
+
+    map_section = raw.get("map_server", {})
+    if isinstance(map_section, dict):
+        ros_params = map_section.get("ros__parameters", map_section)
+        if isinstance(ros_params, dict) and "map" in ros_params:
+            params["map_name"] = ros_params["map"]
+
+    return config_from_dict(params, strict=strict)

@@ -1,0 +1,234 @@
+"""The fused MCL step — one jitted device dispatch per correction.
+
+The reference runs resample -> motion -> sensor -> normalize as four
+sequential phases with per-phase timers and an O(N*R*max_range_px) OpenMP
+ray-cast loop in the middle (reference src/particle_filter.cpp:652-694).
+Here the whole correction is ONE XLA computation:
+
+    resample (cumsum + searchsorted, or categorical)        [reference :657-665]
+ -> motion (vectorized arc update + jax.random noise)       [reference :449-503]
+ -> likelihood (sphere-marching ray cast + log-LUT gather)  [reference :506-650]
+ -> weight normalization in log space                       [reference :679-686]
+ -> weighted-mean pose with circular-mean heading           [reference :696-716]
+
+XLA fuses the elementwise phases; there are no host round-trips inside a
+step. RNG is counter-based: the state carries one key that is split per
+phase each step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from monte_carlo_localization_tpu.config import MCLConfig
+from monte_carlo_localization_tpu.filter.init import initialize_global, initialize_pose
+from monte_carlo_localization_tpu.mapping.grid_map import GridMap
+from monte_carlo_localization_tpu.models.motion import motion_model
+from monte_carlo_localization_tpu.models.sensor import SensorModel
+from monte_carlo_localization_tpu.ops.raycast import cast_rays
+from monte_carlo_localization_tpu.ops.resample import resample_indices
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MCLState:
+    """Filter state carried between steps (a pytree; donate-friendly)."""
+
+    particles: jnp.ndarray  # (N, 3) [x, y, theta]
+    log_weights: jnp.ndarray  # (N,) unnormalized logits
+    key: jax.Array  # PRNG key threaded through steps
+
+    @property
+    def num_particles(self) -> int:
+        return self.particles.shape[0]
+
+    def weights(self) -> jnp.ndarray:
+        return jax.nn.softmax(self.log_weights)
+
+
+def expected_pose(particles: jnp.ndarray, log_weights: jnp.ndarray) -> jnp.ndarray:
+    """Weighted mean x/y + circular mean heading (reference :696-716)."""
+    w = jax.nn.softmax(log_weights)
+    x = jnp.sum(w * particles[:, 0])
+    y = jnp.sum(w * particles[:, 1])
+    s = jnp.sum(w * jnp.sin(particles[:, 2]))
+    c = jnp.sum(w * jnp.cos(particles[:, 2]))
+    return jnp.stack([x, y, jnp.arctan2(s, c)])
+
+
+def sensor_update(
+    particles: jnp.ndarray,
+    observed_m: jnp.ndarray,
+    beam_angles: jnp.ndarray,
+    grid_map: GridMap,
+    sensor: SensorModel,
+    raycast_method: str = "sphere",
+    sphere_march_iters: int = 48,
+) -> jnp.ndarray:
+    """Log likelihood per particle from the downsampled scan.
+
+    Builds N*R queries — ray angle = particle theta + beam angle, origin at
+    the particle (particles live in the LASER frame; no lidar offset is
+    applied to queries, matching reference :526-535) — casts them in one
+    batch, and reduces the log-LUT over beams.
+    """
+    n = particles.shape[0]
+    r = beam_angles.shape[0]
+    qx = jnp.broadcast_to(particles[:, 0:1], (n, r))
+    qy = jnp.broadcast_to(particles[:, 1:2], (n, r))
+    qa = particles[:, 2:3] + beam_angles[None, :]
+    queries = jnp.stack(
+        [qx.reshape(-1), qy.reshape(-1), qa.reshape(-1)], axis=1
+    )
+    ranges = cast_rays(
+        grid_map, queries, method=raycast_method, num_iters=sphere_march_iters
+    ).reshape(n, r)
+    return sensor.log_likelihood(observed_m, ranges)
+
+
+def mcl_step(
+    state: MCLState,
+    action: jnp.ndarray,
+    observed_m: jnp.ndarray,
+    beam_angles: jnp.ndarray,
+    grid_map: GridMap,
+    sensor: SensorModel,
+    *,
+    resample_method: str = "systematic",
+    raycast_method: str = "sphere",
+    sphere_march_iters: int = 48,
+    motion_dispersion: tuple[float, float, float] = (0.05, 0.025, 0.25),
+    exact_dt_heuristic: bool = True,
+) -> tuple[MCLState, jnp.ndarray]:
+    """One full MCL correction. Returns (new_state, inferred_pose).
+
+    Mirrors the reference MCL() phase order exactly (resample from the OLD
+    weights, then motion, then sensor; the returned pose is computed from
+    the NEW particles and NEW weights, reference :777-778).
+    """
+    key, k_resample, k_motion = jax.random.split(state.key, 3)
+
+    idx = resample_indices(k_resample, state.log_weights, method=resample_method)
+    proposal = state.particles[idx]
+
+    proposal = motion_model(
+        k_motion,
+        proposal,
+        action,
+        dispersion_x=motion_dispersion[0],
+        dispersion_y=motion_dispersion[1],
+        dispersion_theta=motion_dispersion[2],
+        exact_dt_heuristic=exact_dt_heuristic,
+    )
+
+    log_w = sensor_update(
+        proposal,
+        observed_m,
+        beam_angles,
+        grid_map,
+        sensor,
+        raycast_method=raycast_method,
+        sphere_march_iters=sphere_march_iters,
+    )
+    # normalize in log space (softmax downstream); subtract max for stability
+    log_w = log_w - jax.lax.stop_gradient(jnp.max(log_w))
+
+    new_state = MCLState(particles=proposal, log_weights=log_w, key=key)
+    pose = expected_pose(proposal, log_w)
+    return new_state, pose
+
+
+class ParticleFilter:
+    """High-level single-filter facade: owns map, config, sensor model and
+    the jitted step. The host-side analogue of the reference node's MCL
+    surface, without any I/O (see monte_carlo_localization_tpu.runtime for
+    the dual-rate loop)."""
+
+    def __init__(
+        self,
+        grid_map: GridMap,
+        config: MCLConfig | None = None,
+        beam_angles: np.ndarray | None = None,
+    ):
+        self.config = config or MCLConfig()
+        if self.config.raycast_method not in ("sphere", "dda"):
+            raise ValueError(
+                f"Unknown raycast method: {self.config.raycast_method!r}"
+            )
+        if self.config.resample_method not in ("systematic", "multinomial"):
+            raise ValueError(
+                f"Unknown resample method: {self.config.resample_method!r}"
+            )
+        self.grid_map = grid_map
+        self.sensor = SensorModel.create(
+            max_range_px=grid_map.max_range_px,
+            resolution=grid_map.resolution,
+            z_hit=self.config.z_hit,
+            z_short=self.config.z_short,
+            z_max=self.config.z_max,
+            z_rand=self.config.z_rand,
+            sigma_hit=self.config.sigma_hit,
+            squash_factor=self.config.squash_factor,
+        )
+        self.beam_angles = (
+            jnp.asarray(beam_angles, dtype=jnp.float32)
+            if beam_angles is not None
+            else None
+        )
+        cfg = self.config
+        self._step = jax.jit(
+            partial(
+                mcl_step,
+                resample_method=cfg.resample_method,
+                raycast_method=cfg.raycast_method,
+                sphere_march_iters=cfg.sphere_march_iters,
+                motion_dispersion=(
+                    cfg.motion_dispersion_x,
+                    cfg.motion_dispersion_y,
+                    cfg.motion_dispersion_theta,
+                ),
+                exact_dt_heuristic=cfg.exact_dt_heuristic,
+            ),
+            donate_argnums=(0,),
+        )
+
+    def set_beam_angles(self, beam_angles: np.ndarray) -> None:
+        """Lazy beam setup, the analogue of lidarCB's first-scan branch
+        (reference :297-313)."""
+        self.beam_angles = jnp.asarray(beam_angles, dtype=jnp.float32)
+
+    def init_global(self, seed: int | None = None) -> MCLState:
+        key = jax.random.key(self.config.seed if seed is None else seed)
+        key, sub = jax.random.split(key)
+        particles, log_w = initialize_global(
+            sub, self.grid_map, self.config.max_particles
+        )
+        return MCLState(particles=particles, log_weights=log_w, key=key)
+
+    def init_pose(self, pose, seed: int | None = None) -> MCLState:
+        key = jax.random.key(self.config.seed if seed is None else seed)
+        key, sub = jax.random.split(key)
+        particles, log_w = initialize_pose(sub, pose, self.config.max_particles)
+        return MCLState(particles=particles, log_weights=log_w, key=key)
+
+    def step(
+        self, state: MCLState, action, observed_m
+    ) -> tuple[MCLState, jnp.ndarray]:
+        """One MCL correction (async dispatch; block on the pose if needed)."""
+        if self.beam_angles is None:
+            raise RuntimeError("beam_angles not set — call set_beam_angles() first")
+        return self._step(
+            state,
+            jnp.asarray(action, dtype=jnp.float32),
+            jnp.asarray(observed_m, dtype=jnp.float32),
+            self.beam_angles,
+            self.grid_map,
+            self.sensor,
+        )

@@ -1,0 +1,188 @@
+"""Occupancy-grid map: loading, preprocessing, device residency.
+
+Replaces the reference's map path — nav2 ``map_server`` GetMap service +
+``get_omap()`` (reference src/particle_filter.cpp:173-230) — with a direct
+PGM/PNG + YAML loader producing one immutable :class:`GridMap` pytree whose
+arrays live on device.
+
+Semantics preserved from the reference:
+
+* occupancy values follow the ROS map_server trinary convention
+  (0 free / 100 occupied / -1 unknown),
+* ``permissible`` (free space for initialization) is ``occupancy == 0``
+  (reference :199-213),
+* the ray caster treats ``occupancy > 50`` as an obstacle (reference :642)
+  — note unknown (-1) cells are NOT obstacles, rays pass through them,
+* the origin yaw is stored but ignored in grid<->world transforms, exactly
+  like the reference (grid->world at :438-440 uses only origin x/y).
+
+New for the TPU engine: a precomputed clearance field (EDT, in px, with the
+map border counted as an obstacle) enabling sphere-marching ray casts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from monte_carlo_localization_tpu.mapping.edt import clearance_field
+
+OCC_FREE = 0
+OCC_OCCUPIED = 100
+OCC_UNKNOWN = -1
+OCC_THRESHOLD = 50  # reference src/particle_filter.cpp:642
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class GridMap:
+    """Immutable occupancy-grid map resident on device.
+
+    Array children (leaves): occupancy, occupied, permissible, clearance,
+    free_cells. Static metadata: resolution, origin, shape info.
+    """
+
+    occupancy: jnp.ndarray  # (H, W) int8, trinary ROS values
+    occupied: jnp.ndarray  # (H, W) bool, occupancy > 50
+    permissible: jnp.ndarray  # (H, W) bool, occupancy == 0
+    clearance: jnp.ndarray  # (H, W) float32, px distance to obstacle/border
+    free_cells: jnp.ndarray  # (K, 2) int32 (row, col) of permissible cells
+
+    resolution: float = field(metadata=dict(static=True))  # m / px
+    origin_x: float = field(metadata=dict(static=True))
+    origin_y: float = field(metadata=dict(static=True))
+    origin_yaw: float = field(metadata=dict(static=True))  # stored, unused (as reference)
+    max_range_px: int = field(metadata=dict(static=True))
+    max_range_meters: float = field(metadata=dict(static=True))
+    name: str = field(default="", metadata=dict(static=True))
+
+    @property
+    def height(self) -> int:
+        return self.occupancy.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.occupancy.shape[1]
+
+    @property
+    def num_free_cells(self) -> int:
+        return self.free_cells.shape[0]
+
+    # --- coordinate transforms (match reference :625-627 and :438-440) ---
+    def world_to_grid(self, x, y):
+        """World (m) -> fractional grid (col, row)."""
+        gx = (x - self.origin_x) / self.resolution
+        gy = (y - self.origin_y) / self.resolution
+        return gx, gy
+
+    def grid_to_world(self, row, col):
+        """Grid cell -> world (m); cell-corner convention as reference :438-440."""
+        x = col * self.resolution + self.origin_x
+        y = row * self.resolution + self.origin_y
+        return x, y
+
+
+def occupancy_from_image(
+    image: np.ndarray,
+    negate: int = 0,
+    occupied_thresh: float = 0.65,
+    free_thresh: float = 0.196,
+) -> np.ndarray:
+    """ROS map_server trinary conversion of a grayscale image.
+
+    p = (255 - pixel)/255 (negate=0) or pixel/255 (negate=1);
+    p > occupied_thresh -> 100, p < free_thresh -> 0, else -1.
+    The image's row 0 is the TOP of the picture; occupancy row 0 is the
+    BOTTOM (world origin side), so the image is flipped vertically.
+    """
+    img = np.asarray(image, dtype=np.float64)
+    if img.ndim == 3:  # RGB(A) -> luminance mean, as map_server does
+        img = img[..., :3].mean(axis=-1)
+    p = img / 255.0 if negate else (255.0 - img) / 255.0
+    occ = np.full(img.shape, OCC_UNKNOWN, dtype=np.int8)
+    occ[p > occupied_thresh] = OCC_OCCUPIED
+    occ[p < free_thresh] = OCC_FREE
+    return np.flipud(occ).copy()
+
+
+def map_from_occupancy(
+    occupancy: np.ndarray,
+    resolution: float,
+    origin: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    max_range_meters: float = 12.0,
+    name: str = "",
+    edt_backend: str = "auto",
+) -> GridMap:
+    """Build a device-resident GridMap from a raw int8 occupancy array."""
+    occupancy = np.asarray(occupancy, dtype=np.int8)
+    occupied = occupancy > OCC_THRESHOLD
+    permissible = occupancy == OCC_FREE
+    max_range_px = int(max_range_meters / resolution)
+    clearance = clearance_field(occupied, max_range_px, backend=edt_backend)
+    rows, cols = np.nonzero(permissible)
+    free_cells = np.stack([rows, cols], axis=1).astype(np.int32)
+    if free_cells.shape[0] == 0:
+        raise ValueError(f"Map {name!r} has no free space")
+    return GridMap(
+        occupancy=jnp.asarray(occupancy),
+        occupied=jnp.asarray(occupied),
+        permissible=jnp.asarray(permissible),
+        clearance=jnp.asarray(clearance),
+        free_cells=jnp.asarray(free_cells),
+        resolution=float(resolution),
+        origin_x=float(origin[0]),
+        origin_y=float(origin[1]),
+        origin_yaw=float(origin[2]),
+        max_range_px=max_range_px,
+        max_range_meters=float(max_range_meters),
+        name=name,
+    )
+
+
+def _read_image(path: Path) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("L"))
+
+
+def load_map(
+    yaml_path: str | Path,
+    max_range_meters: float = 12.0,
+    edt_backend: str = "auto",
+) -> GridMap:
+    """Load a ROS-style map YAML + image pair.
+
+    YAML schema (e.g. reference maps/levine.yaml:1-7):
+    image, resolution, origin [x, y, yaw], negate, occupied_thresh, free_thresh.
+    """
+    yaml_path = Path(yaml_path)
+    with open(yaml_path) as f:
+        meta: dict[str, Any] = yaml.safe_load(f)
+
+    image_path = Path(meta["image"])
+    if not image_path.is_absolute():
+        image_path = yaml_path.parent / image_path
+
+    occupancy = occupancy_from_image(
+        _read_image(image_path),
+        negate=int(meta.get("negate", 0)),
+        occupied_thresh=float(meta.get("occupied_thresh", 0.65)),
+        free_thresh=float(meta.get("free_thresh", 0.196)),
+    )
+    origin = meta.get("origin", [0.0, 0.0, 0.0])
+    return map_from_occupancy(
+        occupancy,
+        resolution=float(meta["resolution"]),
+        origin=(float(origin[0]), float(origin[1]), float(origin[2])),
+        max_range_meters=max_range_meters,
+        name=yaml_path.stem,
+        edt_backend=edt_backend,
+    )

@@ -1,0 +1,142 @@
+"""Native (C++/OpenMP) host kernels, lazily compiled and loaded via ctypes.
+
+Provides:
+  * :func:`native_edt` — exact Euclidean distance transform (map preprocess),
+  * :func:`native_cast_rays` — reference-exact OpenMP DDA ray caster (host
+    oracle / trace synthesis).
+
+The library builds on first use with g++ (cached next to this file, keyed by
+a source hash) and every entry point degrades gracefully to None when no
+toolchain is available — callers fall back to numpy/scipy paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "mcl_native.cpp"
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_LIB_FAILED = False
+
+
+def _build_and_load() -> ctypes.CDLL | None:
+    global _LIB, _LIB_FAILED
+    if _LIB is not None:
+        return _LIB
+    if _LIB_FAILED:
+        return None
+    with _LOCK:
+        if _LIB is not None or _LIB_FAILED:
+            return _LIB
+        try:
+            src = _SRC.read_bytes()
+            tag = hashlib.sha256(src).hexdigest()[:16]
+            cache_dir = Path(
+                os.environ.get("MCL_NATIVE_CACHE", _HERE / "_build")
+            )
+            cache_dir.mkdir(parents=True, exist_ok=True)
+            so_path = cache_dir / f"mcl_native_{tag}.so"
+            if not so_path.exists():
+                tmp = so_path.with_suffix(".so.tmp")
+                cmd = [
+                    "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                    "-fopenmp", "-std=c++17", str(_SRC), "-o", str(tmp),
+                ]
+                subprocess.run(
+                    cmd, check=True, capture_output=True, timeout=120
+                )
+                os.replace(tmp, so_path)
+            lib = ctypes.CDLL(str(so_path))
+            lib.mcl_edt.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.mcl_cast_rays.argtypes = [
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_double,
+                ctypes.c_double,
+                ctypes.c_double,
+                ctypes.c_int,
+                ctypes.c_double,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int,
+            ]
+            lib.mcl_native_version.restype = ctypes.c_int
+            assert lib.mcl_native_version() == 1
+            _LIB = lib
+        except Exception:
+            _LIB_FAILED = True
+            return None
+    return _LIB
+
+
+def available() -> bool:
+    return _build_and_load() is not None
+
+
+def native_edt(obstacle: np.ndarray) -> np.ndarray | None:
+    """Exact EDT (cells) of a bool mask, or None if the native lib is absent."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    obstacle = np.ascontiguousarray(obstacle, dtype=np.uint8)
+    h, w = obstacle.shape
+    out = np.empty((h, w), dtype=np.float32)
+    lib.mcl_edt(
+        obstacle.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def native_cast_rays(
+    occupancy: np.ndarray,
+    origin_x: float,
+    origin_y: float,
+    resolution: float,
+    max_range_px: int,
+    max_range_meters: float,
+    queries: np.ndarray,
+    num_threads: int = 0,
+) -> np.ndarray | None:
+    """Batch DDA ranges (reference-exact), or None if the lib is absent."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    occupancy = np.ascontiguousarray(occupancy, dtype=np.int8)
+    queries = np.ascontiguousarray(queries, dtype=np.float32)
+    h, w = occupancy.shape
+    nq = queries.shape[0]
+    out = np.empty((nq,), dtype=np.float32)
+    lib.mcl_cast_rays(
+        occupancy.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        h,
+        w,
+        float(origin_x),
+        float(origin_y),
+        float(resolution),
+        int(max_range_px),
+        float(max_range_meters),
+        queries.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nq,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(num_threads),
+    )
+    return out

@@ -1,0 +1,129 @@
+// ============================================================================
+// mcl_native — host-side native kernels for the TPU MCL engine.
+//
+// The TPU compute path is JAX/XLA; this library covers the host runtime:
+//   * exact 2-D Euclidean distance transform (Felzenszwalb/Huttenlocher),
+//     used at map-load time to build the sphere-marching clearance field,
+//   * an OpenMP batch DDA ray caster, the native correctness oracle and
+//     trace synthesizer (the role OpenMP ray casting plays in the
+//     reference, src/particle_filter.cpp:586-650 — here it is a host tool,
+//     not the production compute path).
+//
+// C ABI, loaded from Python via ctypes.
+// ============================================================================
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <limits>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr double kInf = 1e20;
+
+// Exact 1-D squared distance transform (lower envelope of parabolas).
+void edt_1d(const double* f, int n, double* d, int* v, double* z) {
+  int k = 0;
+  v[0] = 0;
+  z[0] = -kInf;
+  z[1] = kInf;
+  for (int q = 1; q < n; ++q) {
+    double s = ((f[q] + q * q) - (f[v[k]] + v[k] * v[k])) / (2.0 * q - 2.0 * v[k]);
+    while (s <= z[k]) {
+      --k;
+      s = ((f[q] + q * q) - (f[v[k]] + v[k] * v[k])) / (2.0 * q - 2.0 * v[k]);
+    }
+    ++k;
+    v[k] = q;
+    z[k] = s;
+    z[k + 1] = kInf;
+  }
+  k = 0;
+  for (int q = 0; q < n; ++q) {
+    while (z[k + 1] < q) ++k;
+    d[q] = double(q - v[k]) * (q - v[k]) + f[v[k]];
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Exact EDT in cells of a boolean obstacle mask (h x w, row-major).
+void mcl_edt(const uint8_t* obstacle, int h, int w, float* out) {
+  std::vector<double> sq(static_cast<size_t>(h) * w);
+  for (size_t i = 0; i < sq.size(); ++i) sq[i] = obstacle[i] ? 0.0 : kInf;
+
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    std::vector<double> f(std::max(h, w)), d(std::max(h, w)), z(std::max(h, w) + 1);
+    std::vector<int> v(std::max(h, w));
+    // columns
+#ifdef _OPENMP
+#pragma omp for
+#endif
+    for (int x = 0; x < w; ++x) {
+      for (int y = 0; y < h; ++y) f[y] = sq[static_cast<size_t>(y) * w + x];
+      edt_1d(f.data(), h, d.data(), v.data(), z.data());
+      for (int y = 0; y < h; ++y) sq[static_cast<size_t>(y) * w + x] = d[y];
+    }
+    // rows
+#ifdef _OPENMP
+#pragma omp for
+#endif
+    for (int y = 0; y < h; ++y) {
+      double* row = sq.data() + static_cast<size_t>(y) * w;
+      edt_1d(row, w, d.data(), v.data(), z.data());
+      for (int x = 0; x < w; ++x) row[x] = d[x];
+    }
+  }
+  for (size_t i = 0; i < sq.size(); ++i) out[i] = static_cast<float>(std::sqrt(sq[i]));
+}
+
+// Reference-exact fixed-step DDA ray cast over a batch of queries.
+// occ: int8 occupancy (h x w, row-major, >50 == obstacle).
+// queries: nq x 3 float32 (x_world, y_world, angle).
+void mcl_cast_rays(const int8_t* occ, int h, int w, double origin_x,
+                   double origin_y, double resolution, int max_range_px,
+                   double max_range_meters, const float* queries, long nq,
+                   float* out, int num_threads) {
+#ifdef _OPENMP
+  if (num_threads > 0) omp_set_num_threads(num_threads);
+#pragma omp parallel for schedule(dynamic, 64)
+#endif
+  for (long i = 0; i < nq; ++i) {
+    const double x0 = queries[i * 3 + 0];
+    const double y0 = queries[i * 3 + 1];
+    const double ang = queries[i * 3 + 2];
+    const double dx = std::cos(ang) * resolution;
+    const double dy = std::sin(ang) * resolution;
+    double cx = x0, cy = y0;
+    float result = static_cast<float>(max_range_meters);
+    for (int step = 0; step < max_range_px; ++step) {
+      cx += dx;
+      cy += dy;
+      const int gx = static_cast<int>((cx - origin_x) / resolution);
+      const int gy = static_cast<int>((cy - origin_y) / resolution);
+      if (gx < 0 || gx >= w || gy < 0 || gy >= h) {
+        result = static_cast<float>(step * resolution);
+        break;
+      }
+      if (occ[static_cast<size_t>(gy) * w + gx] > 50) {
+        result = static_cast<float>(step * resolution);
+        break;
+      }
+    }
+    out[i] = result;
+  }
+}
+
+int mcl_native_version() { return 1; }
+
+}  // extern "C"

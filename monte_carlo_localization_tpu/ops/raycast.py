@@ -1,0 +1,163 @@
+"""Batched grid ray casting — the hot op.
+
+Two interchangeable backends behind one contract (the TPU rebuild of the
+reference's ``calc_range_many`` / ``cast_ray``,
+reference src/particle_filter.cpp:586-650):
+
+* :func:`cast_rays_dda` — reference-exact fixed-step marcher. Steps
+  ``max_range_px`` times by one map resolution along (cos a, sin a),
+  truncating world->grid coordinates like the C++ ``static_cast<int>``,
+  returning ``step * resolution`` at the first out-of-bounds or
+  occupancy>50 cell, else ``max_range_meters``. O(max_range_px) gathers.
+  This is the correctness oracle.
+
+* :func:`cast_rays_sphere` — EDT sphere marching. Each iteration reads the
+  precomputed clearance field (distance in px to the nearest obstacle or
+  map border) and advances the ray by the full clearance (minus a safety
+  margin), so open space is crossed in a handful of iterations instead of
+  one step per cell. Fixed trip count (jit-static), masked convergence.
+  This is the production backend; its step-skipping near corners is no
+  worse than the reference's own 1-px stepping, which can also skip
+  diagonal corners.
+
+Both are pure jax.numpy (vmap/jit/shard_map-safe, CPU-runnable). All
+computation happens in pixel space; queries are (x, y, absolute angle)
+world-space triples as in the reference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from monte_carlo_localization_tpu.mapping.grid_map import GridMap
+
+# Reference semantics quirk: cast_ray returns `step * resolution` where step
+# is the 0-based count at the CHECK AFTER advancing (reference :620-647), so
+# reported ranges are one cell short of the true crossing distance. The
+# sphere marcher subtracts this bias to agree with the oracle.
+_DDA_BIAS_PX = 1.0
+
+
+def _world_to_grid_trunc(px, py):
+    """float pixel coords -> integer cell via C-style truncation toward zero.
+
+    XLA's float->int convert rounds toward zero, matching the reference's
+    ``static_cast<int>`` (reference :625-627).
+    """
+    return px.astype(jnp.int32), py.astype(jnp.int32)
+
+
+def cast_rays_dda(grid_map: GridMap, queries: jnp.ndarray) -> jnp.ndarray:
+    """Reference-exact fixed-step ray march.
+
+    Args:
+      grid_map: the map.
+      queries: (Q, 3) float32 — (x_world, y_world, absolute ray angle).
+    Returns:
+      (Q,) float32 ranges in meters.
+    """
+    res = grid_map.resolution
+    h, w = grid_map.height, grid_map.width
+    max_px = grid_map.max_range_px
+    occ_flat = grid_map.occupied.reshape(-1)
+
+    x0 = queries[:, 0]
+    y0 = queries[:, 1]
+    ang = queries[:, 2]
+    dx = jnp.cos(ang) * res
+    dy = jnp.sin(ang) * res
+
+    sentinel = jnp.int32(max_px)
+    hit0 = jnp.full(x0.shape, sentinel, dtype=jnp.int32)
+
+    def body(step, hit):
+        # position after (step+1) advances, in world coords (reference :622-624)
+        cx = x0 + dx * (step + 1).astype(x0.dtype)
+        cy = y0 + dy * (step + 1).astype(y0.dtype)
+        gx, gy = _world_to_grid_trunc(
+            (cx - grid_map.origin_x) / res, (cy - grid_map.origin_y) / res
+        )
+        oob = (gx < 0) | (gx >= w) | (gy < 0) | (gy >= h)
+        idx = jnp.clip(gy, 0, h - 1) * w + jnp.clip(gx, 0, w - 1)
+        occ = occ_flat[idx]
+        blocked = oob | occ
+        return jnp.where((hit == sentinel) & blocked, jnp.int32(step), hit)
+
+    hit = jax.lax.fori_loop(0, max_px, body, hit0)
+    return jnp.where(
+        hit < sentinel,
+        hit.astype(queries.dtype) * res,
+        jnp.asarray(grid_map.max_range_meters, dtype=queries.dtype),
+    )
+
+
+def cast_rays_sphere(
+    grid_map: GridMap, queries: jnp.ndarray, num_iters: int = 48
+) -> jnp.ndarray:
+    """EDT sphere-marching ray cast.
+
+    Advances each ray by ``max(clearance - 1.5, 1.0)`` px per iteration:
+    the 1.5-px margin guarantees a step can never pass through an obstacle
+    cell when taking the full clearance, and the 1-px floor guarantees
+    DDA-rate progress when hugging walls. A ray that exhausts its
+    iterations reports its traveled distance (conservative underestimate).
+
+    Args:
+      grid_map: the map (uses the precomputed clearance field).
+      queries: (Q, 3) float32 — (x_world, y_world, absolute ray angle).
+      num_iters: fixed trip count (static for jit).
+    Returns:
+      (Q,) float32 ranges in meters, matching DDA semantics within ~1 px.
+    """
+    res = grid_map.resolution
+    h, w = grid_map.height, grid_map.width
+    max_px = jnp.asarray(grid_map.max_range_px, dtype=queries.dtype)
+    clearance_flat = grid_map.clearance.reshape(-1)
+
+    # pixel-space ray origin and unit direction
+    px0 = (queries[:, 0] - grid_map.origin_x) / res
+    py0 = (queries[:, 1] - grid_map.origin_y) / res
+    ang = queries[:, 2]
+    ux = jnp.cos(ang)
+    uy = jnp.sin(ang)
+
+    t0 = jnp.zeros_like(px0)
+    done0 = jnp.zeros(px0.shape, dtype=jnp.bool_)
+
+    def body(_, carry):
+        t, done = carry
+        cx = px0 + ux * t
+        cy = py0 + uy * t
+        gx, gy = _world_to_grid_trunc(cx, cy)
+        oob = (gx < 0) | (gx >= w) | (gy < 0) | (gy >= h)
+        idx = jnp.clip(gy, 0, h - 1) * w + jnp.clip(gx, 0, w - 1)
+        c = jnp.where(oob, 0.0, clearance_flat[idx])
+        hit_now = c <= 0.0
+        past_max = t >= max_px
+        newly_done = hit_now | past_max
+        step = jnp.maximum(c - 1.5, 1.0)
+        t_next = jnp.where(done | newly_done, t, t + step)
+        return t_next, done | newly_done
+
+    t, _ = jax.lax.fori_loop(0, num_iters, body, (t0, done0))
+    t = jnp.clip(t - _DDA_BIAS_PX, 0.0, max_px)
+    r = t * res
+    return jnp.minimum(r, jnp.asarray(grid_map.max_range_meters, dtype=r.dtype))
+
+
+def cast_rays(
+    grid_map: GridMap,
+    queries: jnp.ndarray,
+    method: str = "sphere",
+    num_iters: int = 48,
+) -> jnp.ndarray:
+    """Dispatch on backend. Contract identical to the reference's
+    calc_range_many: (Q, 3) queries -> (Q,) ranges in meters."""
+    if method == "dda":
+        return cast_rays_dda(grid_map, queries)
+    if method == "sphere":
+        return cast_rays_sphere(grid_map, queries, num_iters=num_iters)
+    raise ValueError(f"Unknown raycast method: {method!r}")
