@@ -1,0 +1,19 @@
+from monte_carlo_localization_tpu.runtime.tracker import OdometryTracker
+from monte_carlo_localization_tpu.runtime.node import MCLNode
+from monte_carlo_localization_tpu.runtime.trace import (
+    HostRaycaster,
+    Trace,
+    TraceReader,
+    TraceWriter,
+    synthesize_trace,
+)
+
+__all__ = [
+    "OdometryTracker",
+    "MCLNode",
+    "Trace",
+    "TraceReader",
+    "TraceWriter",
+    "synthesize_trace",
+    "HostRaycaster",
+]

@@ -1,0 +1,295 @@
+"""The MCL node — the reference's update-control + I/O shell, ROS-free.
+
+Reproduces the behavior of the reference node (reference
+src/particle_filter.cpp:19-170 constructor, :720-846 timer_update,
+:295-352 sensor callbacks, :857-983 outputs) around the fused TPU step:
+
+* scan ingest with first-scan beam derivation and ``angle_step``
+  downsampling (reference :297-313),
+* odometry ingest feeding the host tracker (reference :325-352),
+* the update tick: dt from a monotonic clock, >1 s tick skip, action from
+  the latest twist, decaying exploration noise for the first 15 iterations
+  without odometry (reference :734-772),
+* per-phase TimingStats and the every-200-iteration printout
+  (reference :814-827),
+* delay-compensated anchor refresh after each correction (reference
+  :784-807),
+* pose priority chain + lidar->base_link offset on outputs
+  (reference :857-916), weighted particle-cloud downsampling to
+  ``max_viz_particles`` (reference :967-983).
+
+I/O is abstracted: feed it callbacks (live mode) or a recorded
+:class:`~monte_carlo_localization_tpu.runtime.trace.Trace` (replay mode).
+The MCL dispatch is asynchronous (JAX) — the host only blocks when it
+reads the pose back, the analogue of the reference's try_lock skip.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+
+import jax
+
+from monte_carlo_localization_tpu.config import MCLConfig
+from monte_carlo_localization_tpu.filter.core import MCLState, ParticleFilter
+from monte_carlo_localization_tpu.mapping.grid_map import GridMap
+from monte_carlo_localization_tpu.runtime.tracker import OdometryTracker
+from monte_carlo_localization_tpu.runtime.trace import Trace, TraceReader
+from monte_carlo_localization_tpu.utils.geometry import apply_vehicle_offset
+from monte_carlo_localization_tpu.utils.timing import Stopwatch, TimingStats
+from monte_carlo_localization_tpu.utils.validation import is_pose_valid
+
+
+@dataclass
+class ReplayResult:
+    times: np.ndarray  # (K,) correction timestamps
+    poses: np.ndarray  # (K, 3) inferred (laser-frame) poses
+    tracked: np.ndarray  # (K, 3) dual-rate current_pose at the same instants
+    rmse_xy: float | None = None  # vs ground truth, if the trace has it
+    rmse_theta: float | None = None
+    updates_per_sec: float = 0.0
+    stats: TimingStats | None = None
+
+
+class MCLNode:
+    def __init__(
+        self,
+        grid_map: GridMap,
+        config: MCLConfig | None = None,
+        rng_seed: int | None = None,
+        log: Callable[[str], None] = lambda s: None,
+    ):
+        self.config = config or MCLConfig()
+        self.map = grid_map
+        self.log = log
+        self.filter = ParticleFilter(grid_map, self.config)
+        self.tracker = OdometryTracker(self.config.max_pose_range)
+        self.stats = TimingStats()
+        self.rng = np.random.default_rng(
+            self.config.seed if rng_seed is None else rng_seed
+        )
+
+        self.state: MCLState | None = None
+        self.inferred_pose: np.ndarray | None = None
+        # Delay compensation projects the anchor forward by the measured
+        # wall-time of the MCL step (reference :790-806) — meaningful only
+        # when the clock driving update() is the same wall clock the stats
+        # measure. Offline trace replay disables it.
+        self.delay_compensation_enabled = True
+        self.iters = 0
+        self.lidar_initialized = False
+        self.odom_initialized = False
+        self.downsampled_ranges: np.ndarray | None = None
+        self._last_update_time: float | None = None
+        self._avg_mcl_ms_window: list[float] = []
+
+        # global init at startup, like the reference constructor (:151-152)
+        self.state = self.filter.init_global(
+            self.config.seed if rng_seed is None else rng_seed
+        )
+
+    # ----- scan ingest (reference lidarCB :295-323) -----
+    def on_scan(
+        self,
+        ranges: np.ndarray,
+        angle_min: float | None = None,
+        angle_increment: float | None = None,
+        beam_angles: np.ndarray | None = None,
+    ) -> None:
+        ranges = np.asarray(ranges, dtype=np.float32)
+        if not self.lidar_initialized:
+            if beam_angles is None:
+                if angle_min is None or angle_increment is None:
+                    raise ValueError(
+                        "first scan needs beam_angles or angle_min/increment"
+                    )
+                beam_angles = angle_min + np.arange(len(ranges)) * angle_increment
+            down = np.asarray(beam_angles, dtype=np.float32)[
+                :: self.config.angle_step
+            ]
+            self.filter.set_beam_angles(down)
+            self.lidar_initialized = True
+            self.log(f"LiDAR initialized - {len(down)} angles")
+        self.downsampled_ranges = ranges[:: self.config.angle_step]
+
+    # ----- odom ingest (reference odomCB :325-352) -----
+    def on_odometry(
+        self,
+        x: float,
+        y: float,
+        theta: float,
+        velocity: float,
+        angular_velocity: float,
+        stamp: float | None = None,
+    ) -> None:
+        self.tracker.on_odometry(x, y, theta, velocity, angular_velocity, stamp)
+        self.odom_initialized = True
+
+    # ----- interactive init (reference clicked_pose/:355-379) -----
+    def initialize_pose(self, pose: np.ndarray) -> None:
+        self.state = self.filter.init_pose(pose, seed=int(self.rng.integers(2**31)))
+        self.tracker.anchor(np.asarray(pose, dtype=np.float64), from_seed=True)
+        self.inferred_pose = np.asarray(pose, dtype=np.float64)
+        self.log(f"Pose initialized at {np.round(pose, 3)}")
+
+    def initialize_global(self) -> None:
+        self.state = self.filter.init_global(seed=int(self.rng.integers(2**31)))
+        self.tracker.deactivate()
+        self.inferred_pose = None
+        self.log("Global initialization")
+
+    # ----- the update tick (reference timer_update :720-846) -----
+    def update(self, now: float | None = None) -> np.ndarray | None:
+        """Run one MCL correction if possible; returns the inferred pose."""
+        now = time.monotonic() if now is None else now
+        if self._last_update_time is None:
+            self._last_update_time = now
+            return None
+        dt = now - self._last_update_time
+        self._last_update_time = now
+        if dt > 1.0:  # skip huge gaps (reference :750-752)
+            return None
+        if not self.lidar_initialized or self.downsampled_ranges is None:
+            return None
+
+        self.iters += 1
+        snap = self.tracker.snapshot()
+        action = np.zeros(3)
+        if self.odom_initialized and dt >= 1e-4 and (
+            abs(snap.velocity) > 1e-4 or abs(snap.angular_velocity) > 1e-4
+        ):
+            action[0] = snap.velocity * dt
+            action[2] = snap.angular_velocity * dt
+        elif (
+            not self.odom_initialized
+            and not self.tracker.pose_initialized_from_seed
+            and self.iters < 15
+        ):
+            # decaying exploration noise (reference :767-772)
+            nf = max(0.1, 1.0 - self.iters / 15.0)
+            action[0] = self.rng.normal() * 0.02 * nf
+            action[1] = self.rng.normal() * 0.01 * nf
+            action[2] = self.rng.normal() * 0.05 * nf
+
+        with Stopwatch(self.stats, "total_mcl_time"):
+            self.state, pose_dev = self.filter.step(
+                self.state, action, self.downsampled_ranges
+            )
+            pose = np.asarray(jax.block_until_ready(pose_dev), dtype=np.float64)
+        self.stats.measurement_count += 1
+        self.inferred_pose = pose
+
+        # anchor refresh with delay compensation (reference :781-807)
+        if self.odom_initialized and (
+            self.tracker.pose_initialized_from_seed
+            or (self.iters > 0 and is_pose_valid(pose, self.config.max_pose_range))
+        ):
+            self.tracker.anchor(
+                pose,
+                avg_mcl_ms=(
+                    self.stats.avg_total_ms
+                    if self.delay_compensation_enabled
+                    else 0.0
+                ),
+                delay_compensation_factor=self.config.delay_compensation_factor,
+            )
+
+        if self.iters % 100 == 0:
+            self.log(
+                f"MCL iter {self.iters}: "
+                f"[{pose[0]:.2f}, {pose[1]:.2f}, {pose[2]:.2f}]"
+            )
+        if self.iters % 200 == 0:
+            self.stats.print_stats(self.log)
+            self.stats.reset()
+        return pose
+
+    # ----- outputs (reference :857-983) -----
+    def current_pose(self) -> np.ndarray:
+        particle_mean = None
+        if self.state is not None:
+            particle_mean = np.asarray(self.state.particles).mean(axis=0)
+        return self.tracker.current_pose(self.inferred_pose, particle_mean)
+
+    def base_link_pose(self) -> np.ndarray:
+        """map->base_link output pose (lidar offset applied, reference :857-866)."""
+        return apply_vehicle_offset(self.current_pose(), self.config.lidar_offset_x)
+
+    def particle_cloud(self) -> np.ndarray:
+        """Visualization cloud, weighted-downsampled to max_viz_particles
+        (reference :944-960), lidar offset applied (reference :967-977)."""
+        assert self.state is not None
+        particles = np.asarray(self.state.particles)
+        w = np.asarray(self.state.weights())
+        if particles.shape[0] > self.config.max_viz_particles:
+            idx = self.rng.choice(
+                particles.shape[0],
+                self.config.max_viz_particles,
+                p=w / w.sum(),
+            )
+            particles = particles[idx]
+        return apply_vehicle_offset(particles, self.config.lidar_offset_x)
+
+    # ----- trace replay -----
+    def replay(
+        self,
+        trace: Trace,
+        realtime_compensation: bool = False,
+    ) -> ReplayResult:
+        """Replay a recorded trace through the engine.
+
+        One correction runs per scan event (the steady-state behavior of
+        the reference, whose ~200 Hz timer is gated by the ~6 Hz compute).
+        ``realtime_compensation`` re-enables wall-clock delay compensation
+        — only meaningful when replaying in real time.
+        """
+        self.delay_compensation_enabled = realtime_compensation
+        times, poses, tracked = [], [], []
+        wall0 = time.perf_counter()
+        for ev in TraceReader(trace):
+            if ev.kind == "odom":
+                op = trace.odom_pose[ev.index]
+                tw = trace.odom_twist[ev.index]
+                self.on_odometry(op[0], op[1], op[2], tw[0], tw[1], stamp=ev.t)
+            else:
+                self.on_scan(
+                    trace.scan_ranges[ev.index], beam_angles=trace.beam_angles
+                )
+                pose = self.update(now=ev.t)
+                if pose is not None:
+                    times.append(ev.t)
+                    poses.append(pose)
+                    tracked.append(self.current_pose())
+        wall = time.perf_counter() - wall0
+
+        times_a = np.asarray(times)
+        poses_a = np.asarray(poses).reshape(-1, 3)
+        tracked_a = np.asarray(tracked).reshape(-1, 3)
+        rmse_xy = rmse_th = None
+        if trace.truth_t is not None and len(times_a):
+            tp = np.stack(
+                [
+                    np.interp(times_a, trace.truth_t, trace.truth_pose[:, i])
+                    for i in range(3)
+                ],
+                axis=1,
+            )
+            err = poses_a[:, :2] - tp[:, :2]
+            rmse_xy = float(np.sqrt((err**2).sum(axis=1).mean()))
+            dth = np.arctan2(
+                np.sin(poses_a[:, 2] - tp[:, 2]), np.cos(poses_a[:, 2] - tp[:, 2])
+            )
+            rmse_th = float(np.sqrt((dth**2).mean()))
+        return ReplayResult(
+            times=times_a,
+            poses=poses_a,
+            tracked=tracked_a,
+            rmse_xy=rmse_xy,
+            rmse_theta=rmse_th,
+            updates_per_sec=len(times_a) / wall if wall > 0 else 0.0,
+            stats=self.stats,
+        )

@@ -1,0 +1,64 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from monte_carlo_localization_tpu.ops.resample import (
+    multinomial_resample_indices,
+    resample_indices,
+    systematic_resample_indices,
+)
+
+
+def _counts(idx, n):
+    return np.bincount(np.asarray(idx), minlength=n)
+
+
+def test_multinomial_unbiased():
+    n = 5000
+    w = np.array([0.5, 0.3, 0.15, 0.05] + [0.0] * 0)
+    logw = jnp.log(jnp.asarray(w))
+    idx = multinomial_resample_indices(jax.random.key(0), logw, num_samples=n)
+    freq = _counts(idx, 4) / n
+    np.testing.assert_allclose(freq, w, atol=0.02)
+
+
+def test_systematic_unbiased_and_low_variance():
+    n = 4000
+    w = np.array([0.5, 0.3, 0.15, 0.05])
+    logw = jnp.log(jnp.asarray(w))
+    idx = systematic_resample_indices(jax.random.key(1), logw, num_samples=n)
+    freq = _counts(idx, 4) / n
+    # systematic: counts are within 1 of n*w_i deterministically
+    np.testing.assert_allclose(freq, w, atol=1.5 / n)
+
+
+def test_systematic_variance_below_multinomial():
+    n = 1000
+    w = np.ones(n) / n
+    logw = jnp.zeros(n)
+    # unique-ancestor count: systematic keeps ~all, multinomial ~63%
+    sys_idx = systematic_resample_indices(jax.random.key(2), logw)
+    mul_idx = multinomial_resample_indices(jax.random.key(2), logw)
+    assert len(np.unique(np.asarray(sys_idx))) == n
+    assert len(np.unique(np.asarray(mul_idx))) < 0.75 * n
+
+
+def test_degenerate_single_winner():
+    logw = jnp.asarray([-1e9, 0.0, -1e9, -1e9])
+    for method in ("systematic", "multinomial"):
+        idx = resample_indices(jax.random.key(3), logw, method=method)
+        assert np.all(np.asarray(idx) == 1), method
+
+
+def test_resample_different_sample_count():
+    logw = jnp.zeros(10)
+    idx = systematic_resample_indices(jax.random.key(4), logw, num_samples=25)
+    assert idx.shape == (25,)
+    assert np.asarray(idx).max() < 10
+
+
+def test_unknown_method():
+    with pytest.raises(ValueError):
+        resample_indices(jax.random.key(0), jnp.zeros(4), method="bogus")
