@@ -131,7 +131,7 @@ def cmd_info(args) -> int:
                     height=gm.height,
                     width=gm.width,
                     resolution=gm.resolution,
-                    origin=[gm.origin_x, gm.origin_y, gm.origin_yaw],
+                    origin=[float(gm.origin_x), float(gm.origin_y), float(gm.origin_yaw)],
                     free_cells=gm.num_free_cells,
                     max_range_px=gm.max_range_px,
                 )
@@ -168,7 +168,11 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--config", default=None, help="mcl_config.yaml")
     rp.add_argument("--particles", type=int, default=None)
     rp.add_argument("--angle-step", type=int, default=None, dest="angle_step")
-    rp.add_argument("--raycast", choices=["sphere", "dda"], default=None)
+    rp.add_argument(
+        "--raycast",
+        choices=["lut_pallas", "lut", "sphere", "dda"],
+        default=None,
+    )
     rp.add_argument(
         "--resample", choices=["systematic", "multinomial"], default=None
     )

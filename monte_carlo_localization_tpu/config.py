@@ -75,8 +75,10 @@ class MCLConfig:
     # --- engine knobs (new; TPU-native) ---
     use_parallel_raycasting: bool = True  # kept for config compat; engine is always batched
     num_threads: int = 0  # used by the native host raycaster (0 = auto)
-    raycast_method: str = "sphere"  # "sphere" (EDT marching) | "dda" (reference-exact)
+    raycast_method: str = "sphere"  # "lut" (precomputed, fastest) | "sphere" (EDT marching) | "dda" (reference-exact)
     sphere_march_iters: int = 48  # fixed sphere-marching trip count
+    lut_theta_bins: int = 1440  # angle quantization of the "lut" backend (0.25 deg)
+    sensor_model_mode: str = "analytic"  # "analytic" (gather-free) | "table" (reference LUT)
     resample_method: str = "systematic"  # "systematic" | "multinomial" (reference compat)
     exact_dt_heuristic: bool = True  # reproduce reference dt reconstruction (:452-471)
     dtype: str = "float32"

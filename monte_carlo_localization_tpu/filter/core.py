@@ -71,6 +71,7 @@ def sensor_update(
     sensor: SensorModel,
     raycast_method: str = "sphere",
     sphere_march_iters: int = 48,
+    sensor_mode: str = "analytic",
 ) -> jnp.ndarray:
     """Log likelihood per particle from the downsampled scan.
 
@@ -81,6 +82,18 @@ def sensor_update(
     """
     n = particles.shape[0]
     r = beam_angles.shape[0]
+    if raycast_method == "lut" and sensor_mode == "analytic":
+        # fused fast path: gather expected ranges in PIXEL units directly
+        # from the LUT (no (N*R,3) query matrix, no meter round-trip) and
+        # evaluate the analytic beam model on them
+        from monte_carlo_localization_tpu.ops.raycast import (
+            lut_expected_px,
+        )
+
+        d_px = lut_expected_px(grid_map, particles, beam_angles)
+        obs_px = sensor.to_pixel_index(observed_m).astype(jnp.float32)
+        logp = sensor.log_prob_analytic(obs_px[None, :], d_px)
+        return sensor.inv_squash_factor * jnp.sum(logp, axis=-1)
     qx = jnp.broadcast_to(particles[:, 0:1], (n, r))
     qy = jnp.broadcast_to(particles[:, 1:2], (n, r))
     qa = particles[:, 2:3] + beam_angles[None, :]
@@ -90,7 +103,7 @@ def sensor_update(
     ranges = cast_rays(
         grid_map, queries, method=raycast_method, num_iters=sphere_march_iters
     ).reshape(n, r)
-    return sensor.log_likelihood(observed_m, ranges)
+    return sensor.log_likelihood(observed_m, ranges, mode=sensor_mode)
 
 
 def mcl_step(
@@ -104,8 +117,10 @@ def mcl_step(
     resample_method: str = "systematic",
     raycast_method: str = "sphere",
     sphere_march_iters: int = 48,
+    sensor_mode: str = "analytic",
     motion_dispersion: tuple[float, float, float] = (0.05, 0.025, 0.25),
     exact_dt_heuristic: bool = True,
+    likelihood_fn=None,
 ) -> tuple[MCLState, jnp.ndarray]:
     """One full MCL correction. Returns (new_state, inferred_pose).
 
@@ -128,15 +143,22 @@ def mcl_step(
         exact_dt_heuristic=exact_dt_heuristic,
     )
 
-    log_w = sensor_update(
-        proposal,
-        observed_m,
-        beam_angles,
-        grid_map,
-        sensor,
-        raycast_method=raycast_method,
-        sphere_march_iters=sphere_march_iters,
-    )
+    if likelihood_fn is not None:
+        # custom fused likelihood (e.g. the Pallas LUT kernel); the map is
+        # threaded through as an argument so big LUT buffers never become
+        # jit constants (axon remote-compile rejects large captures)
+        log_w = likelihood_fn(proposal, observed_m, grid_map)
+    else:
+        log_w = sensor_update(
+            proposal,
+            observed_m,
+            beam_angles,
+            grid_map,
+            sensor,
+            raycast_method=raycast_method,
+            sphere_march_iters=sphere_march_iters,
+            sensor_mode=sensor_mode,
+        )
     # normalize in log space (softmax downstream); subtract max for stability
     log_w = log_w - jax.lax.stop_gradient(jnp.max(log_w))
 
@@ -158,7 +180,7 @@ class ParticleFilter:
         beam_angles: np.ndarray | None = None,
     ):
         self.config = config or MCLConfig()
-        if self.config.raycast_method not in ("sphere", "dda"):
+        if self.config.raycast_method not in ("sphere", "dda", "lut", "lut_pallas"):
             raise ValueError(
                 f"Unknown raycast method: {self.config.raycast_method!r}"
             )
@@ -166,6 +188,14 @@ class ParticleFilter:
             raise ValueError(
                 f"Unknown resample method: {self.config.resample_method!r}"
             )
+        if self.config.sensor_model_mode not in ("analytic", "table"):
+            raise ValueError(
+                f"Unknown sensor model mode: {self.config.sensor_model_mode!r}"
+            )
+        if self.config.raycast_method == "lut":
+            grid_map = grid_map.with_range_lut(self.config.lut_theta_bins)
+        # lut_pallas attaches its LUT in set_beam_angles: the kernel needs
+        # T matched to the beam increment (one beam per theta bin)
         self.grid_map = grid_map
         self.sensor = SensorModel.create(
             max_range_px=grid_map.max_range_px,
@@ -182,27 +212,75 @@ class ParticleFilter:
             if beam_angles is not None
             else None
         )
+        self._rebuild_step()
+
+    def _rebuild_step(self) -> None:
         cfg = self.config
+        likelihood_fn = None
+        if cfg.raycast_method == "lut_pallas" and self.beam_angles is not None:
+            from monte_carlo_localization_tpu.ops.pallas_lut import (
+                build_lut_query_fn,
+                required_row_stride,
+                suggest_theta_bins,
+            )
+
+            beams_np = np.asarray(self.beam_angles)
+            t = suggest_theta_bins(beams_np)
+            stride = required_row_stride(t, beams_np)
+            self.grid_map = self.grid_map.with_range_lut(t).with_padded_lut(
+                stride
+            )
+            gm = self.grid_map
+            query, _ = build_lut_query_fn(
+                gm.lut_theta_bins,
+                beams_np,
+                cfg.max_particles,
+                height=gm.height,
+                width=gm.width,
+                resolution=gm.resolution,
+                origin_x=float(gm.origin_x),
+                origin_y=float(gm.origin_y),
+                max_range_px=gm.max_range_px,
+                row_stride=stride,
+                z_hit=cfg.z_hit,
+                z_short=cfg.z_short,
+                z_max=cfg.z_max,
+                z_rand=cfg.z_rand,
+                sigma_hit=cfg.sigma_hit,
+                inv_squash=cfg.inv_squash_factor,
+                interpret=jax.default_backend() == "cpu",
+            )
+            sensor = self.sensor
+
+            def likelihood_fn(particles, observed_m, gmap):
+                obs_px = sensor.to_pixel_index(observed_m).astype(jnp.float32)
+                return query(gmap.range_lut, particles, obs_px)
+
         self._step = jax.jit(
             partial(
                 mcl_step,
                 resample_method=cfg.resample_method,
                 raycast_method=cfg.raycast_method,
                 sphere_march_iters=cfg.sphere_march_iters,
+                sensor_mode=cfg.sensor_model_mode,
                 motion_dispersion=(
                     cfg.motion_dispersion_x,
                     cfg.motion_dispersion_y,
                     cfg.motion_dispersion_theta,
                 ),
                 exact_dt_heuristic=cfg.exact_dt_heuristic,
+                likelihood_fn=likelihood_fn,
             ),
             donate_argnums=(0,),
         )
 
     def set_beam_angles(self, beam_angles: np.ndarray) -> None:
         """Lazy beam setup, the analogue of lidarCB's first-scan branch
-        (reference :297-313)."""
+        (reference :297-313). Rebuilds the jitted step when the Pallas
+        likelihood kernel is active (its geometry is static per beam set)."""
         self.beam_angles = jnp.asarray(beam_angles, dtype=jnp.float32)
+        if self.config.raycast_method == "lut_pallas":
+            self._rebuild_step()
 
     def init_global(self, seed: int | None = None) -> MCLState:
         key = jax.random.key(self.config.seed if seed is None else seed)

@@ -27,9 +27,9 @@ def initialize_global(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Uniform particles over free cells. Returns (particles (N,3), log_weights (N,))."""
     k_cell, k_theta = jax.random.split(key)
-    cell_idx = jax.random.randint(
-        k_cell, (num_particles,), 0, grid_map.num_free_cells
-    )
+    # num_free is traced data: a padded fleet map batch samples uniformly
+    # over each member's REAL free-cell count.
+    cell_idx = jax.random.randint(k_cell, (num_particles,), 0, grid_map.num_free)
     cells = grid_map.free_cells[cell_idx]  # (N, 2) row, col
     x = cells[:, 1].astype(dtype) * grid_map.resolution + grid_map.origin_x
     y = cells[:, 0].astype(dtype) * grid_map.resolution + grid_map.origin_y

@@ -54,14 +54,85 @@ class GridMap:
     permissible: jnp.ndarray  # (H, W) bool, occupancy == 0
     clearance: jnp.ndarray  # (H, W) float32, px distance to obstacle/border
     free_cells: jnp.ndarray  # (K, 2) int32 (row, col) of permissible cells
+    num_free: jnp.ndarray  # () int32 — count of REAL free cells (K may be padded)
+    # Origins are leaves (traced data), not static metadata, so a vmapped
+    # fleet can mix maps with different origins without recompiling.
+    origin_x: jnp.ndarray  # () float32
+    origin_y: jnp.ndarray  # () float32
+    origin_yaw: jnp.ndarray  # () float32 — stored, unused (as reference)
 
     resolution: float = field(metadata=dict(static=True))  # m / px
-    origin_x: float = field(metadata=dict(static=True))
-    origin_y: float = field(metadata=dict(static=True))
-    origin_yaw: float = field(metadata=dict(static=True))  # stored, unused (as reference)
     max_range_px: int = field(metadata=dict(static=True))
     max_range_meters: float = field(metadata=dict(static=True))
     name: str = field(default="", metadata=dict(static=True))
+    # Optional precomputed range LUT (see mapping/range_lut.py):
+    # flattened (H*W*T,) uint8 ranges-in-px; None until attached.
+    range_lut: jnp.ndarray | None = None
+    lut_theta_bins: int = field(default=0, metadata=dict(static=True))
+    # Per-cell row stride of range_lut in entries; 0 means = lut_theta_bins.
+    # The Pallas query kernel pads rows (with angle wraparound content) so
+    # its aligned window DMAs never cross a row (see with_padded_lut).
+    lut_row_stride: int = field(default=0, metadata=dict(static=True))
+
+    def with_range_lut(
+        self,
+        t_bins: int | None = None,
+        backend: str = "auto",
+        use_cache: bool = True,
+    ) -> "GridMap":
+        """Return a copy with the angle-quantized range LUT attached."""
+        import dataclasses
+
+        from monte_carlo_localization_tpu.mapping.range_lut import (
+            DEFAULT_THETA_BINS,
+            build_range_lut,
+            cached_range_lut,
+        )
+
+        t = t_bins or DEFAULT_THETA_BINS
+        if self.range_lut is not None and self.lut_theta_bins == t:
+            return self
+        occupied = np.asarray(self.occupied)
+        build = cached_range_lut if use_cache else build_range_lut
+        if occupied.ndim == 3:  # batched fleet map: one LUT per member
+            lut = np.stack(
+                [
+                    np.ascontiguousarray(
+                        build(occupied[i], t, self.max_range_px, backend=backend)
+                    ).reshape(-1)
+                    for i in range(occupied.shape[0])
+                ]
+            )
+        else:
+            lut = np.ascontiguousarray(
+                build(occupied, t, self.max_range_px, backend=backend)
+            ).reshape(-1)
+        return dataclasses.replace(
+            self, range_lut=jnp.asarray(lut), lut_theta_bins=t, lut_row_stride=0
+        )
+
+    def with_padded_lut(self, row_stride: int) -> "GridMap":
+        """Pad each LUT row to ``row_stride`` entries, filling the tail with
+        angle-wraparound content (bins mod T), ON DEVICE. The Pallas query
+        kernel requires its per-cell window [b0, b0+span) to live inside
+        one padded row. Idempotent for the same stride."""
+        import dataclasses
+
+        if self.range_lut is None:
+            raise ValueError("attach a range LUT first (with_range_lut)")
+        if self.lut_row_stride == row_stride:
+            return self
+        if self.lut_row_stride != 0:
+            raise ValueError("LUT already padded with a different stride")
+        t = self.lut_theta_bins
+        reps = -(-row_stride // t)  # ceil
+        rows = self.range_lut.reshape(-1, t)
+        padded = jnp.tile(rows, (1, reps))[:, :row_stride].reshape(
+            *self.range_lut.shape[:-1], -1
+        )
+        return dataclasses.replace(
+            self, range_lut=padded, lut_row_stride=row_stride
+        )
 
     @property
     def height(self) -> int:
@@ -73,7 +144,8 @@ class GridMap:
 
     @property
     def num_free_cells(self) -> int:
-        return self.free_cells.shape[0]
+        """Capacity of the free-cell table (== real count for single maps)."""
+        return self.free_cells.shape[-2]
 
     # --- coordinate transforms (match reference :625-627 and :438-440) ---
     def world_to_grid(self, x, y):
@@ -136,10 +208,11 @@ def map_from_occupancy(
         permissible=jnp.asarray(permissible),
         clearance=jnp.asarray(clearance),
         free_cells=jnp.asarray(free_cells),
+        num_free=jnp.asarray(free_cells.shape[0], dtype=jnp.int32),
+        origin_x=jnp.asarray(origin[0], dtype=jnp.float32),
+        origin_y=jnp.asarray(origin[1], dtype=jnp.float32),
+        origin_yaw=jnp.asarray(origin[2], dtype=jnp.float32),
         resolution=float(resolution),
-        origin_x=float(origin[0]),
-        origin_y=float(origin[1]),
-        origin_yaw=float(origin[2]),
         max_range_px=max_range_px,
         max_range_meters=float(max_range_meters),
         name=name,

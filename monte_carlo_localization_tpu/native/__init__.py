@@ -76,8 +76,16 @@ def _build_and_load() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int,
             ]
+            lib.mcl_build_range_lut.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
             lib.mcl_native_version.restype = ctypes.c_int
-            assert lib.mcl_native_version() == 1
+            assert lib.mcl_native_version() == 2
             _LIB = lib
         except Exception:
             _LIB_FAILED = True
@@ -102,6 +110,27 @@ def native_edt(obstacle: np.ndarray) -> np.ndarray | None:
         h,
         w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def native_build_range_lut(
+    occupied: np.ndarray, t_bins: int, max_range_px: int
+) -> np.ndarray | None:
+    """(H, W, T) uint8 range LUT via the C++ shear-scan DP, or None."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    occupied = np.ascontiguousarray(occupied, dtype=np.uint8)
+    h, w = occupied.shape
+    out = np.empty((h, w, t_bins), dtype=np.uint8)
+    lib.mcl_build_range_lut(
+        occupied.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+        int(t_bins),
+        int(max_range_px),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out
 

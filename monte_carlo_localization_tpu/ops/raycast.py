@@ -148,6 +148,70 @@ def cast_rays_sphere(
     return jnp.minimum(r, jnp.asarray(grid_map.max_range_meters, dtype=r.dtype))
 
 
+def cast_rays_lut(grid_map: GridMap, queries: jnp.ndarray) -> jnp.ndarray:
+    """Precomputed-LUT ray cast: ONE u8 gather per query.
+
+    Requires ``grid_map.with_range_lut()``. Angle is rounded to the nearest
+    of T bins; the origin snaps to its cell. Query outside the map returns
+    0 (immediate border hit, matching DDA from an out-of-bounds origin).
+    """
+    if grid_map.range_lut is None:
+        raise ValueError(
+            "GridMap has no range LUT — call grid_map.with_range_lut() first"
+        )
+    res = grid_map.resolution
+    h, w = grid_map.height, grid_map.width
+    t = grid_map.lut_theta_bins
+
+    gx, gy = _world_to_grid_trunc(
+        (queries[:, 0] - grid_map.origin_x) / res,
+        (queries[:, 1] - grid_map.origin_y) / res,
+    )
+    oob = (gx < 0) | (gx >= w) | (gy < 0) | (gy >= h)
+    ang = queries[:, 2]
+    # bin = round(theta / (2*pi/T)) mod T, branch-free for any angle
+    b = jnp.round(ang * (t / (2.0 * jnp.pi))).astype(jnp.int32) % t
+    b = jnp.where(b < 0, b + t, b)
+    cell = jnp.clip(gy, 0, h - 1) * w + jnp.clip(gx, 0, w - 1)
+    row_stride = grid_map.lut_row_stride or t
+    idx = cell * row_stride + b
+    px = grid_map.range_lut[idx].astype(queries.dtype)
+    r = jnp.where(oob, 0.0, px * res)
+    return jnp.minimum(r, jnp.asarray(grid_map.max_range_meters, dtype=r.dtype))
+
+
+def lut_expected_px(
+    grid_map: GridMap, particles: jnp.ndarray, beam_angles: jnp.ndarray
+) -> jnp.ndarray:
+    """Expected ranges in PIXELS for all particle x beam pairs, fused.
+
+    Skips the (N*R, 3) query materialization of the generic contract: the
+    LUT index is computed straight from (particles, beams). Pixel-space
+    output feeds the analytic sensor model without a meter round-trip.
+    Returns (N, R) float32; out-of-map particles read 0 px everywhere.
+    """
+    if grid_map.range_lut is None:
+        raise ValueError(
+            "GridMap has no range LUT — call grid_map.with_range_lut() first"
+        )
+    res = grid_map.resolution
+    h, w = grid_map.height, grid_map.width
+    t = grid_map.lut_theta_bins
+    gx, gy = _world_to_grid_trunc(
+        (particles[:, 0] - grid_map.origin_x) / res,
+        (particles[:, 1] - grid_map.origin_y) / res,
+    )
+    oob = (gx < 0) | (gx >= w) | (gy < 0) | (gy >= h)
+    cell = jnp.clip(gy, 0, h - 1) * w + jnp.clip(gx, 0, w - 1)
+    ang = particles[:, 2:3] + beam_angles[None, :]
+    b = jnp.round(ang * (t / (2.0 * jnp.pi))).astype(jnp.int32) % t
+    b = jnp.where(b < 0, b + t, b)
+    row_stride = grid_map.lut_row_stride or t
+    idx = cell[:, None] * row_stride + b
+    px = grid_map.range_lut[idx.reshape(-1)].reshape(idx.shape)
+    return jnp.where(oob[:, None], 0.0, px.astype(jnp.float32))
+
+
 def cast_rays(
     grid_map: GridMap,
     queries: jnp.ndarray,
@@ -160,4 +224,6 @@ def cast_rays(
         return cast_rays_dda(grid_map, queries)
     if method == "sphere":
         return cast_rays_sphere(grid_map, queries, num_iters=num_iters)
+    if method == "lut":
+        return cast_rays_lut(grid_map, queries)
     raise ValueError(f"Unknown raycast method: {method!r}")

@@ -1,0 +1,13 @@
+from monte_carlo_localization_tpu.parallel.fleet import (
+    FleetFilter,
+    FleetState,
+    stack_maps,
+)
+from monte_carlo_localization_tpu.parallel.sharded import ShardedParticleFilter
+
+__all__ = [
+    "FleetFilter",
+    "FleetState",
+    "stack_maps",
+    "ShardedParticleFilter",
+]

@@ -1,0 +1,276 @@
+"""Fleet parallelism: many independent MCL instances on a device mesh.
+
+The reference runs exactly one filter per process (one node = one car).
+The TPU engine batches F independent filters — e.g. 64 cars x 4000
+particles — as ONE vmapped, jitted step, and shards the fleet axis across
+devices with `jax.sharding` (embarrassingly parallel: zero collectives,
+pure ICI-free scaling; SURVEY.md §2.1 row 3).
+
+Different cars may run on DIFFERENT maps: maps are stacked into one
+batched pytree (padded to a common shape with occupied borders, which
+preserves ray-cast semantics since rays already stop at obstacles/borders)
+and the map becomes a vmapped argument.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from monte_carlo_localization_tpu.config import MCLConfig
+from monte_carlo_localization_tpu.filter.core import MCLState, expected_pose, mcl_step
+from monte_carlo_localization_tpu.filter.init import initialize_global, initialize_pose
+from monte_carlo_localization_tpu.mapping.grid_map import GridMap, OCC_OCCUPIED
+from monte_carlo_localization_tpu.models.sensor import SensorModel
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class FleetState:
+    """Batched filter state: leading axis = fleet member."""
+
+    particles: jnp.ndarray  # (F, N, 3)
+    log_weights: jnp.ndarray  # (F, N)
+    keys: jax.Array  # (F,) PRNG keys
+
+    @property
+    def fleet_size(self) -> int:
+        return self.particles.shape[0]
+
+
+def stack_maps(maps: Sequence[GridMap]) -> GridMap:
+    """Stack maps into one batched GridMap (leading fleet axis on ALL leaves).
+
+    Grids are padded bottom/right to the common max shape: occupancy pads
+    as OCCUPIED and clearance pads as 0, so padded space behaves exactly
+    like the map border the ray casters already stop at. free_cells pads
+    by repeating the first cell; global init stays uniform because it
+    samples with the per-map ``num_free`` bound (a traced leaf).
+    Per-map origins are leaves, so heterogeneous origins are fine.
+    """
+    if not maps:
+        raise ValueError("need at least one map")
+    res = maps[0].resolution
+    mrp = maps[0].max_range_px
+    for m in maps:
+        if abs(m.resolution - res) > 1e-9 or m.max_range_px != mrp:
+            raise ValueError(
+                "fleet maps must share resolution and max_range "
+                f"({m.name}: {m.resolution} vs {res})"
+            )
+    h = max(m.height for m in maps)
+    w = max(m.width for m in maps)
+    k = max(m.num_free_cells for m in maps)
+
+    def pad_grid(a, fill, mh, mw):
+        a = np.asarray(a)
+        out = np.full((mh, mw), fill, dtype=a.dtype)
+        out[: a.shape[0], : a.shape[1]] = a
+        return out
+
+    free_cells = np.zeros((len(maps), k, 2), dtype=np.int32)
+    for i, m in enumerate(maps):
+        fc = np.asarray(m.free_cells)
+        free_cells[i, : fc.shape[0]] = fc
+        free_cells[i, fc.shape[0] :] = fc[0]
+
+    return GridMap(
+        occupancy=jnp.asarray(
+            np.stack([pad_grid(m.occupancy, OCC_OCCUPIED, h, w) for m in maps])
+        ),
+        occupied=jnp.asarray(
+            np.stack([pad_grid(m.occupied, True, h, w) for m in maps])
+        ),
+        permissible=jnp.asarray(
+            np.stack([pad_grid(m.permissible, False, h, w) for m in maps])
+        ),
+        clearance=jnp.asarray(
+            np.stack([pad_grid(m.clearance, 0.0, h, w) for m in maps])
+        ),
+        free_cells=jnp.asarray(free_cells),
+        num_free=jnp.asarray([int(m.num_free) for m in maps], dtype=jnp.int32),
+        origin_x=jnp.asarray([float(m.origin_x) for m in maps], jnp.float32),
+        origin_y=jnp.asarray([float(m.origin_y) for m in maps], jnp.float32),
+        origin_yaw=jnp.asarray([float(m.origin_yaw) for m in maps], jnp.float32),
+        resolution=res,
+        max_range_px=mrp,
+        max_range_meters=maps[0].max_range_meters,
+        name="fleet:" + ",".join(m.name for m in maps),
+    )
+
+
+def is_batched_map(grid_map: GridMap) -> bool:
+    return grid_map.occupancy.ndim == 3
+
+
+class FleetFilter:
+    """F independent filters as one jitted step, sharded over a mesh axis.
+
+    All members share one config and (for now) one map geometry batch; a
+    heterogeneous-origin fleet passes per-member origins at construction
+    via ``stack_maps``.
+    """
+
+    def __init__(
+        self,
+        grid_map: GridMap,
+        fleet_size: int,
+        config: MCLConfig | None = None,
+        beam_angles: np.ndarray | None = None,
+        mesh: Mesh | None = None,
+        fleet_axis: str = "fleet",
+        particle_axis: str | None = None,
+    ):
+        """With ``particle_axis`` set (2-D mesh), each member's particle
+        axis is additionally sharded — XLA inserts the resampling gathers
+        (the pjit path; the explicit-collectives path is
+        ShardedParticleFilter)."""
+        self.config = config or MCLConfig()
+        self.map = grid_map
+        self.fleet_size = fleet_size
+        self.sensor = SensorModel.create(
+            max_range_px=grid_map.max_range_px,
+            resolution=grid_map.resolution,
+            z_hit=self.config.z_hit,
+            z_short=self.config.z_short,
+            z_max=self.config.z_max,
+            z_rand=self.config.z_rand,
+            sigma_hit=self.config.sigma_hit,
+            squash_factor=self.config.squash_factor,
+        )
+        self.beam_angles = (
+            None if beam_angles is None else jnp.asarray(beam_angles, jnp.float32)
+        )
+        self.mesh = mesh
+        self.fleet_axis = fleet_axis
+
+        cfg = self.config
+        if cfg.raycast_method == "lut":
+            grid_map = grid_map.with_range_lut(cfg.lut_theta_bins)
+            self.map = grid_map
+        step = partial(
+            mcl_step,
+            resample_method=cfg.resample_method,
+            raycast_method=cfg.raycast_method,
+            sphere_march_iters=cfg.sphere_march_iters,
+            sensor_mode=cfg.sensor_model_mode,
+            motion_dispersion=(
+                cfg.motion_dispersion_x,
+                cfg.motion_dispersion_y,
+                cfg.motion_dispersion_theta,
+            ),
+            exact_dt_heuristic=cfg.exact_dt_heuristic,
+        )
+
+        map_axis = 0 if is_batched_map(grid_map) else None
+
+        def fleet_step(state: FleetState, actions, scans, beams, gmap, sensor):
+            def one(particles, logw, key, action, scan, gm):
+                s = MCLState(particles=particles, log_weights=logw, key=key)
+                s2, pose = step(s, action, scan, beams, gm, sensor)
+                return s2.particles, s2.log_weights, s2.key, pose
+
+            p, lw, keys, poses = jax.vmap(
+                one, in_axes=(0, 0, 0, 0, 0, map_axis)
+            )(state.particles, state.log_weights, state.keys, actions, scans, gmap)
+            return FleetState(particles=p, log_weights=lw, keys=keys), poses
+
+        self.particle_axis = particle_axis
+        if mesh is not None:
+            fs = NamedSharding(mesh, P(fleet_axis))
+            pspec = (
+                P(fleet_axis, particle_axis) if particle_axis else P(fleet_axis)
+            )
+            state_sh = FleetState(
+                particles=NamedSharding(mesh, pspec),
+                log_weights=NamedSharding(mesh, pspec),
+                keys=NamedSharding(mesh, P(fleet_axis)),
+            )
+            repl = NamedSharding(mesh, P())
+            # a batched map shards along the fleet axis with the filters;
+            # a shared map replicates to every device
+            map_sh = fs if map_axis == 0 else repl
+            self._step = jax.jit(
+                fleet_step,
+                in_shardings=(state_sh, fs, fs, repl, map_sh, repl),
+                out_shardings=(state_sh, fs),
+                donate_argnums=(0,),
+            )
+        else:
+            self._step = jax.jit(fleet_step, donate_argnums=(0,))
+
+    def set_beam_angles(self, beam_angles: np.ndarray) -> None:
+        self.beam_angles = jnp.asarray(beam_angles, dtype=jnp.float32)
+
+    def _place(self, state: FleetState) -> FleetState:
+        if self.mesh is None:
+            return state
+        fs = NamedSharding(self.mesh, P(self.fleet_axis))
+        psh = NamedSharding(
+            self.mesh,
+            P(self.fleet_axis, self.particle_axis)
+            if self.particle_axis
+            else P(self.fleet_axis),
+        )
+        return FleetState(
+            particles=jax.device_put(state.particles, psh),
+            log_weights=jax.device_put(state.log_weights, psh),
+            keys=jax.device_put(state.keys, fs),
+        )
+
+    def init_global(self, seed: int = 0) -> FleetState:
+        keys = jax.random.split(jax.random.key(seed), self.fleet_size + 1)
+        n = self.config.max_particles
+        map_axis = 0 if is_batched_map(self.map) else None
+
+        def one(key, gm):
+            return initialize_global(key, gm, n)
+
+        particles, logw = jax.vmap(one, in_axes=(0, map_axis))(keys[1:], self.map)
+        return self._place(
+            FleetState(
+                particles=particles,
+                log_weights=logw,
+                keys=jax.random.split(keys[0], self.fleet_size),
+            )
+        )
+
+    def init_pose(self, poses: np.ndarray, seed: int = 0) -> FleetState:
+        """poses: (F, 3) per-member seed poses."""
+        poses = jnp.asarray(poses, dtype=jnp.float32)
+        keys = jax.random.split(jax.random.key(seed), self.fleet_size + 1)
+        n = self.config.max_particles
+
+        def one(key, pose):
+            return initialize_pose(key, pose, n)
+
+        particles, logw = jax.vmap(one)(keys[1:], poses)
+        return self._place(
+            FleetState(
+                particles=particles,
+                log_weights=logw,
+                keys=jax.random.split(keys[0], self.fleet_size),
+            )
+        )
+
+    def step(
+        self, state: FleetState, actions, scans
+    ) -> tuple[FleetState, jnp.ndarray]:
+        """actions: (F, 3); scans: (F, R). Returns (state, poses (F, 3))."""
+        if self.beam_angles is None:
+            raise RuntimeError("beam_angles not set — call set_beam_angles() first")
+        return self._step(
+            state,
+            jnp.asarray(actions, dtype=jnp.float32),
+            jnp.asarray(scans, dtype=jnp.float32),
+            self.beam_angles,
+            self.map,
+            self.sensor,
+        )

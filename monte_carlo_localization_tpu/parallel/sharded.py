@@ -1,0 +1,217 @@
+"""Giant-N global localization: ONE filter with its particle axis sharded
+across a device mesh (SURVEY.md §2.1 rows 4/"context parallelism").
+
+The reference caps at a few thousand particles because its OpenMP ray
+loop is O(N*R*max_range_px) on one CPU (reference
+src/particle_filter.cpp:586-650). Here 100k+ particles spread over chips:
+
+* motion + ray casting + likelihood are local to each shard (zero
+  communication — particles are independent),
+* weight normalization is a global logsumexp via ``psum``,
+* systematic resampling needs the global CDF: shard weight totals are
+  exchanged with one tiny ``all_gather`` (D scalars) to place each
+  shard's cumsum in the global prefix, and ancestor rows are fetched with
+  an ``all_gather`` of the particle matrix (N x 3 — ~1 MB at 100k, one
+  ICI hop). A ppermute-bucketed exchange is the documented scale-out
+  path beyond ~1M particles.
+* the pose estimate is a psum-weighted mean + circular mean.
+
+Everything runs inside ONE ``shard_map``-decorated jitted step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from monte_carlo_localization_tpu.config import MCLConfig
+from monte_carlo_localization_tpu.filter.core import MCLState, sensor_update
+from monte_carlo_localization_tpu.filter.init import initialize_global
+from monte_carlo_localization_tpu.mapping.grid_map import GridMap
+from monte_carlo_localization_tpu.models.motion import motion_model
+from monte_carlo_localization_tpu.models.sensor import SensorModel
+
+
+class ShardedParticleFilter:
+    """One MCL filter with particles sharded over mesh axis ``axis``."""
+
+    def __init__(
+        self,
+        grid_map: GridMap,
+        config: MCLConfig | None = None,
+        mesh: Mesh | None = None,
+        axis: str = "p",
+        beam_angles: np.ndarray | None = None,
+    ):
+        self.config = config or MCLConfig()
+        self.map = grid_map
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), (axis,))
+        self.mesh = mesh
+        self.axis = axis
+        self.num_devices = mesh.shape[axis]
+        if self.config.max_particles % self.num_devices != 0:
+            raise ValueError(
+                f"max_particles ({self.config.max_particles}) must divide "
+                f"evenly over {self.num_devices} devices"
+            )
+        self.sensor = SensorModel.create(
+            max_range_px=grid_map.max_range_px,
+            resolution=grid_map.resolution,
+            z_hit=self.config.z_hit,
+            z_short=self.config.z_short,
+            z_max=self.config.z_max,
+            z_rand=self.config.z_rand,
+            sigma_hit=self.config.sigma_hit,
+            squash_factor=self.config.squash_factor,
+        )
+        self.beam_angles = (
+            None if beam_angles is None else jnp.asarray(beam_angles, jnp.float32)
+        )
+        if self.config.raycast_method == "lut":
+            self.map = grid_map.with_range_lut(self.config.lut_theta_bins)
+        self._build_step()
+
+    def _build_step(self):
+        cfg = self.config
+        axis = self.axis
+        n_total = cfg.max_particles
+
+        def local_step(particles, log_w, key, action, scan, beams, gmap, sensor):
+            """Runs on each shard: particles (n_local, 3), log_w (n_local,)."""
+            n_local = particles.shape[0]
+            shard = jax.lax.axis_index(axis)
+            # The same key enters every shard and the same evolved key
+            # leaves (replicated out_spec); only per-shard SUBkeys fold in
+            # the shard index to decorrelate noise across shards.
+            key, k_resample, k_motion = jax.random.split(key, 3)
+            k_motion = jax.random.fold_in(k_motion, shard)
+
+            # ---- distributed systematic resampling ----
+            # global softmax: max and sum via collectives
+            m_local = jnp.max(log_w)
+            m = jax.lax.pmax(m_local, axis)
+            w_local = jnp.exp(log_w - m)
+            z = jax.lax.psum(jnp.sum(w_local), axis)
+            w = w_local / z  # globally normalized weights, local slice
+
+            local_cdf = jnp.cumsum(w)
+            shard_total = local_cdf[-1]
+            totals = jax.lax.all_gather(shard_total, axis)  # (D,)
+            offset = jnp.where(
+                jnp.arange(self.num_devices) < shard, totals, 0.0
+            ).sum()
+            global_cdf_local = local_cdf + offset  # this shard's CDF segment
+
+            # systematic resampling uses ONE global u0: k_resample is not
+            # folded, so every shard draws the identical value
+            u0 = jax.random.uniform(k_resample, ())
+
+            # positions owned by this shard's OUTPUT slots
+            slot0 = shard * n_local
+            positions = (
+                jnp.arange(n_local, dtype=w.dtype) + slot0.astype(w.dtype) + u0
+            ) / n_total
+
+            # source rows can live on any shard: gather the full particle
+            # matrix (N x 3) and the full CDF once over ICI
+            all_particles = jax.lax.all_gather(
+                particles, axis
+            ).reshape(n_total, 3)
+            all_cdf = jax.lax.all_gather(global_cdf_local, axis).reshape(-1)
+            src = jnp.clip(
+                jnp.searchsorted(all_cdf, positions), 0, n_total - 1
+            )
+            proposal = all_particles[src]
+
+            # ---- motion (local) ----
+            proposal = motion_model(
+                k_motion,
+                proposal,
+                action,
+                dispersion_x=cfg.motion_dispersion_x,
+                dispersion_y=cfg.motion_dispersion_y,
+                dispersion_theta=cfg.motion_dispersion_theta,
+                exact_dt_heuristic=cfg.exact_dt_heuristic,
+            )
+
+            # ---- likelihood (local) ----
+            log_w_new = sensor_update(
+                proposal,
+                scan,
+                beams,
+                gmap,
+                sensor,
+                raycast_method=cfg.raycast_method,
+                sphere_march_iters=cfg.sphere_march_iters,
+                sensor_mode=cfg.sensor_model_mode,
+            )
+            log_w_new = log_w_new - jax.lax.pmax(jnp.max(log_w_new), axis)
+
+            # ---- pose estimate (global) ----
+            wn_local = jnp.exp(log_w_new)
+            zn = jax.lax.psum(jnp.sum(wn_local), axis)
+            wn = wn_local / zn
+            px = jax.lax.psum(jnp.sum(wn * proposal[:, 0]), axis)
+            py = jax.lax.psum(jnp.sum(wn * proposal[:, 1]), axis)
+            ps = jax.lax.psum(jnp.sum(wn * jnp.sin(proposal[:, 2])), axis)
+            pc = jax.lax.psum(jnp.sum(wn * jnp.cos(proposal[:, 2])), axis)
+            pose = jnp.stack([px, py, jnp.arctan2(ps, pc)])
+
+            return proposal, log_w_new, key, pose
+
+        mesh = self.mesh
+        pspec = P(axis)
+        rspec = P()
+
+        sharded = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(pspec, pspec, rspec, rspec, rspec, rspec, rspec, rspec),
+            out_specs=(pspec, pspec, rspec, rspec),
+            check_vma=False,
+        )
+
+        def step(state: MCLState, action, scan, beams, gmap, sensor):
+            particles, log_w, key, pose = sharded(
+                state.particles, state.log_weights, state.key, action, scan,
+                beams, gmap, sensor,
+            )
+            # every shard returns the same key evolution; keep shard 0's
+            return MCLState(particles=particles, log_weights=log_w, key=key), pose
+
+        self._step = jax.jit(step, donate_argnums=(0,))
+
+    def init_global(self, seed: int = 0) -> MCLState:
+        key = jax.random.key(seed)
+        key, sub = jax.random.split(key)
+        particles, log_w = initialize_global(
+            sub, self.map, self.config.max_particles
+        )
+        sh = NamedSharding(self.mesh, P(self.axis))
+        return MCLState(
+            particles=jax.device_put(particles, sh),
+            log_weights=jax.device_put(log_w, sh),
+            key=key,
+        )
+
+    def set_beam_angles(self, beam_angles: np.ndarray) -> None:
+        self.beam_angles = jnp.asarray(beam_angles, dtype=jnp.float32)
+
+    def step(self, state: MCLState, action, scan):
+        if self.beam_angles is None:
+            raise RuntimeError("beam_angles not set — call set_beam_angles() first")
+        return self._step(
+            state,
+            jnp.asarray(action, dtype=jnp.float32),
+            jnp.asarray(scan, dtype=jnp.float32),
+            self.beam_angles,
+            self.map,
+            self.sensor,
+        )

@@ -186,8 +186,8 @@ def synthesize_trace(
         ]
         start_pose = np.array(
             [
-                cell[1] * grid_map.resolution + grid_map.origin_x,
-                cell[0] * grid_map.resolution + grid_map.origin_y,
+                float(cell[1]) * grid_map.resolution + float(grid_map.origin_x),
+                float(cell[0]) * grid_map.resolution + float(grid_map.origin_y),
                 rng.uniform(0, 2 * np.pi),
             ]
         )

@@ -7,7 +7,11 @@ logic without real hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment exports JAX_PLATFORMS=axon globally and the axon
+# plugin wins over a plain env override in some process setups — force the
+# CPU backend through every available channel BEFORE jax initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +22,9 @@ import numpy as np
 import pytest
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,170 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from monte_carlo_localization_tpu.config import MCLConfig
+from monte_carlo_localization_tpu.mapping import box_world
+from monte_carlo_localization_tpu.parallel import (
+    FleetFilter,
+    ShardedParticleFilter,
+    stack_maps,
+)
+
+needs_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def true_pose():
+    return np.array([10.0, 10.0, 0.5], np.float32)
+
+
+@pytest.fixture(scope="module")
+def scan60(clutter_map, beams60, true_pose):
+    from tests.conftest import synth_scan
+
+    return synth_scan(clutter_map, true_pose, beams60)
+
+
+class TestFleet:
+    def test_fleet_converges_no_mesh(self, clutter_map, beams60, scan60, true_pose):
+        ff = FleetFilter(
+            clutter_map,
+            fleet_size=4,
+            config=MCLConfig(max_particles=400),
+            beam_angles=beams60,
+        )
+        state = ff.init_pose(np.tile(true_pose, (4, 1)), seed=0)
+        for _ in range(8):
+            state, poses = ff.step(
+                state, np.zeros((4, 3)), np.tile(scan60, (4, 1))
+            )
+        err = np.linalg.norm(np.asarray(poses)[:, :2] - true_pose[:2], axis=1)
+        assert (err < 0.15).all()
+
+    def test_members_independent(self, clutter_map, beams60, scan60, true_pose):
+        """Different keys per member -> different particle clouds."""
+        ff = FleetFilter(
+            clutter_map,
+            fleet_size=3,
+            config=MCLConfig(max_particles=200),
+            beam_angles=beams60,
+        )
+        state = ff.init_pose(np.tile(true_pose, (3, 1)), seed=0)
+        state, _ = ff.step(state, np.zeros((3, 3)), np.tile(scan60, (3, 1)))
+        p = np.asarray(state.particles)
+        assert not np.allclose(p[0], p[1])
+
+    @needs_8
+    def test_fleet_sharded_over_mesh(self, clutter_map, beams60, scan60, true_pose):
+        mesh = Mesh(np.array(jax.devices()[:8]), ("fleet",))
+        ff = FleetFilter(
+            clutter_map,
+            fleet_size=8,
+            config=MCLConfig(max_particles=256),
+            beam_angles=beams60,
+            mesh=mesh,
+        )
+        state = ff.init_pose(np.tile(true_pose, (8, 1)), seed=1)
+        assert "fleet" in str(state.particles.sharding)
+        for _ in range(6):
+            state, poses = ff.step(
+                state, np.zeros((8, 3)), np.tile(scan60, (8, 1))
+            )
+        err = np.linalg.norm(np.asarray(poses)[:, :2] - true_pose[:2], axis=1)
+        assert (err < 0.2).all()
+
+    def test_heterogeneous_maps(self, clutter_map, beams60, scan60, true_pose):
+        from tests.conftest import synth_scan
+
+        m2 = box_world(height=400, width=400, origin=(-3.0, -2.0, 0.0))
+        bm = stack_maps([clutter_map, m2])
+        p2 = np.array([3.0, 3.0, 0.1], np.float32)
+        scan2 = synth_scan(m2, p2, beams60)
+        ff = FleetFilter(
+            bm, fleet_size=2, config=MCLConfig(max_particles=400),
+            beam_angles=beams60,
+        )
+        state = ff.init_pose(np.stack([true_pose, p2]), seed=2)
+        for _ in range(8):
+            state, poses = ff.step(
+                state, np.zeros((2, 3)), np.stack([scan60, scan2])
+            )
+        poses = np.asarray(poses)
+        assert np.linalg.norm(poses[0, :2] - true_pose[:2]) < 0.15
+        assert np.linalg.norm(poses[1, :2] - p2[:2]) < 0.2
+
+    def test_stack_maps_mismatch(self, clutter_map):
+        bad = box_world(resolution=0.1)
+        with pytest.raises(ValueError):
+            stack_maps([clutter_map, bad])
+
+    def test_batched_global_init_uniformity(self, clutter_map):
+        """Padded free-cell tables must not bias sampling (num_free leaf)."""
+        m2 = box_world(height=100, width=100)  # far fewer free cells
+        bm = stack_maps([clutter_map, m2])
+        ff = FleetFilter(
+            bm, fleet_size=2, config=MCLConfig(max_particles=4000)
+        )
+        state = ff.init_global(seed=3)
+        p = np.asarray(state.particles)
+        # member 1 particles must all lie inside its small 5m x 5m box
+        assert p[1, :, 0].max() < 5.1 and p[1, :, 1].max() < 5.1
+        # and spread across it (not clumped at the padded duplicate cell)
+        assert p[1, :, 0].std() > 0.8
+
+
+class TestSharded:
+    @needs_8
+    def test_sharded_matches_quality(self, clutter_map, beams60, scan60, true_pose):
+        spf = ShardedParticleFilter(
+            clutter_map,
+            MCLConfig(max_particles=16000, seed=0),
+            beam_angles=beams60,
+        )
+        assert spf.num_devices == 8
+        state = spf.init_global(seed=1)
+        for _ in range(20):
+            state, pose = spf.step(state, np.zeros(3), scan60)
+        assert np.linalg.norm(np.asarray(pose)[:2] - true_pose[:2]) < 0.15
+
+    @needs_8
+    def test_sharded_weights_normalized_globally(self, clutter_map, beams60, scan60):
+        spf = ShardedParticleFilter(
+            clutter_map, MCLConfig(max_particles=800), beam_angles=beams60
+        )
+        state = spf.init_global(seed=2)
+        state, pose = spf.step(state, np.zeros(3), scan60)
+        w = np.asarray(state.weights())
+        assert w.shape == (800,)
+        assert abs(w.sum() - 1.0) < 1e-4
+
+    def test_uneven_particles_rejected(self, clutter_map):
+        n_dev = len(jax.devices())
+        if n_dev == 1:
+            pytest.skip("needs multiple devices")
+        with pytest.raises(ValueError):
+            ShardedParticleFilter(
+                clutter_map, MCLConfig(max_particles=n_dev * 100 + 1)
+            )
+
+
+class TestGraftEntry:
+    def test_entry_compiles_tiny(self):
+        """entry() returns a jittable fn; run it at tiny shapes via the
+        same flagship builder."""
+        import __graft_entry__ as ge
+
+        fn, args = ge._flagship(num_particles=64, num_beams=16, map_hw=120)
+        out_state, pose = jax.jit(fn)(*args)
+        assert np.isfinite(np.asarray(pose)).all()
+
+    @needs_8
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)

@@ -1,0 +1,107 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from monte_carlo_localization_tpu.mapping import box_world, random_obstacle_world
+from monte_carlo_localization_tpu.mapping.range_lut import (
+    build_range_lut,
+    build_range_lut_numpy,
+    cached_range_lut,
+)
+from monte_carlo_localization_tpu.ops.raycast import cast_rays_dda, cast_rays_lut
+
+
+def test_numpy_matches_native():
+    from monte_carlo_localization_tpu.native import available
+
+    if not available():
+        pytest.skip("native lib unavailable")
+    occ = np.asarray(random_obstacle_world(height=80, width=100, seed=1).occupied)
+    a = build_range_lut_numpy(occ, 48, 120)
+    b = build_range_lut(occ, 48, 120, backend="native")
+    assert (a == b).all()
+
+
+def test_lut_matches_dda_statistically(clutter_map):
+    gm = clutter_map.with_range_lut(720, use_cache=False)
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, gm.num_free_cells, 4000)
+    cells = np.asarray(gm.free_cells)[idx]
+    q = np.stack(
+        [
+            cells[:, 1] * gm.resolution + float(gm.origin_x) + 0.025,
+            cells[:, 0] * gm.resolution + float(gm.origin_y) + 0.025,
+            rng.uniform(-np.pi, np.pi, 4000),
+        ],
+        1,
+    ).astype(np.float32)
+    r_dda = np.asarray(cast_rays_dda(gm, jnp.asarray(q)))
+    r_lut = np.asarray(cast_rays_lut(gm, jnp.asarray(q)))
+    d = np.abs(r_lut - r_dda)
+    # angle quantization puts a small tail on grazing rays; the bulk must
+    # agree within ~2 px and the median within 1 px
+    assert np.median(d) <= gm.resolution
+    assert np.mean(d <= 3 * gm.resolution) > 0.95
+
+
+def test_lut_axis_aligned_exact():
+    """Along axis-aligned directions the LUT equals DDA to ~1 px."""
+    gm = box_world(height=200, width=300).with_range_lut(360, use_cache=False)
+    q = np.array(
+        [
+            [5.0, 5.0, 0.0],
+            [5.0, 5.0, np.pi / 2],
+            [5.0, 5.0, np.pi],
+            [5.0, 5.0, -np.pi / 2],
+        ],
+        np.float32,
+    )
+    r_dda = np.asarray(cast_rays_dda(gm, jnp.asarray(q)))
+    r_lut = np.asarray(cast_rays_lut(gm, jnp.asarray(q)))
+    np.testing.assert_allclose(r_lut, r_dda, atol=2 * gm.resolution)
+
+
+def test_lut_oob_query_returns_zero():
+    gm = box_world().with_range_lut(90, use_cache=False)
+    q = np.array([[-50.0, -50.0, 0.3]], np.float32)
+    assert float(cast_rays_lut(gm, jnp.asarray(q))[0]) == 0.0
+
+
+def test_lut_requires_attachment(clutter_map):
+    with pytest.raises(ValueError):
+        cast_rays_lut(clutter_map, jnp.zeros((1, 3)))
+
+
+def test_lut_guards():
+    occ = np.zeros((10, 10), bool)
+    with pytest.raises(ValueError):
+        build_range_lut(occ, 64, max_range_px=300)  # u8 overflow
+    with pytest.raises(ValueError):
+        build_range_lut(np.zeros((40000, 40000), bool), 1440, 240)  # int32
+
+
+def test_cache_roundtrip(tmp_path):
+    occ = np.asarray(box_world(height=40, width=60).occupied)
+    a = cached_range_lut(occ, 32, 100, cache_dir=tmp_path)
+    files = list(tmp_path.glob("rlut_*.npy"))
+    assert len(files) == 1
+    b = cached_range_lut(occ, 32, 100, cache_dir=tmp_path)  # hits cache
+    assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_filter_with_lut_localizes(clutter_map, beams60, make_scan):
+    from monte_carlo_localization_tpu.config import MCLConfig
+    from monte_carlo_localization_tpu.filter import ParticleFilter
+
+    pf = ParticleFilter(
+        clutter_map,
+        MCLConfig(max_particles=1500, raycast_method="lut", lut_theta_bins=720),
+    )
+    pf.set_beam_angles(beams60)
+    tp = np.array([10.0, 10.0, 0.5], np.float32)
+    scan = make_scan(clutter_map, tp, beams60)
+    state = pf.init_pose(tp, seed=0)
+    for _ in range(12):
+        state, pose = pf.step(state, np.zeros(3), scan)
+    assert np.linalg.norm(np.asarray(pose)[:2] - tp[:2]) < 0.12

@@ -49,9 +49,11 @@ def test_table_columns_normalized():
 
 def test_table_peak_at_expected():
     t = build_sensor_table(240)
-    # For interior d, the most likely observation is near d itself
+    # Excluding the z_max spike at r=240 (which at the reference defaults
+    # exceeds the Gaussian peak density), the most likely observation for
+    # interior d is near d itself.
     for d in (50, 120, 200):
-        assert abs(int(np.argmax(t[:, d])) - d) <= 1
+        assert abs(int(np.argmax(t[:240, d])) - d) <= 1
 
 
 def test_log_likelihood_matches_direct_product():
