@@ -92,6 +92,32 @@ class GridMap:
         t = t_bins or DEFAULT_THETA_BINS
         if self.range_lut is not None and self.lut_theta_bins == t:
             return self
+        if backend in ("auto", "device") and (
+            backend == "device" or jax.default_backend() != "cpu"
+        ):
+            # build ON the accelerator: only the occupancy grid crosses
+            # the host->device link, not the multi-hundred-MB LUT
+            from monte_carlo_localization_tpu.mapping.range_lut_device import (
+                build_range_lut_jax_jit,
+            )
+
+            occ = self.occupied
+            if occ.ndim == 3:
+                lut = jnp.stack(
+                    [
+                        build_range_lut_jax_jit(
+                            occ[i], t, self.max_range_px
+                        ).reshape(-1)
+                        for i in range(occ.shape[0])
+                    ]
+                )
+            else:
+                lut = build_range_lut_jax_jit(occ, t, self.max_range_px).reshape(
+                    -1
+                )
+            return dataclasses.replace(
+                self, range_lut=lut, lut_theta_bins=t, lut_row_stride=0
+            )
         occupied = np.asarray(self.occupied)
         build = cached_range_lut if use_cache else build_range_lut
         if occupied.ndim == 3:  # batched fleet map: one LUT per member

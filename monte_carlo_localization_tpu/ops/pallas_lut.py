@@ -124,7 +124,7 @@ def build_lut_query_fn(
     z_rand: float,
     sigma_hit: float,
     inv_squash: float,
-    block: int = 8,
+    block: int = 16,
     interpret: bool = False,
 ):
     """Returns (query, info): query(lut_flat_u8, particles, obs_px) -> (N,)
@@ -157,16 +157,15 @@ def build_lut_query_fn(
     y_rows = wbytes // SUB  # (4, 128) u8 subrows per DMA
 
     # Static lane layout in the ROTATED window: beam j sits at lane
-    # q = j + e_j of residual-run ei. masks select contributing lanes;
-    # obs_layout records which beam's observation each lane compares to.
-    masks_np = np.zeros((max(n_e, 2), s_sub, LANE), np.float32)
-    obs_layout = np.zeros((max(n_e, 2), s_sub * LANE), np.int64)
+    # q = j + e_j. The map j -> q is injective (e_j is nondecreasing), so a
+    # SINGLE mask row and a single per-lane observation vector suffice —
+    # no residual axis in the compute at all.
+    masks_np = np.zeros((s_sub, LANE), np.float32)
+    obs_layout = np.zeros((s_sub * LANE,), np.int64)
     for j in range(r):
         q = j + int(e[j])
-        ei = evals.index(int(e[j]))
-        masks_np[ei, q // LANE, q % LANE] = 1.0
-        obs_layout[ei, q] = j
-    n_rows = max(n_e, 2)  # keep >=2 sublanes for friendlier tiling
+        masks_np[q // LANE, q % LANE] = 1.0
+        obs_layout[q] = j
 
     m = float(max_range_px)
     gauss_coef = z_hit / (sigma_hit * math.sqrt(2.0 * math.pi))
@@ -217,46 +216,46 @@ def build_lut_query_fn(
 
         wait_dmas(slot, i)
 
+        # rotate each particle's window (the only per-particle step),
+        # then evaluate the beam model vectorized over the whole block
+        rows = []
         for s in range(block):
             win = scratch[slot, s].reshape(s_sub, LANE)
             # Mosaic has no u8->f32 cast; widen through int32
             win = win.astype(jnp.int32).astype(jnp.float32)
-            rot = rotate_flat(win, rem_ref[i * block + s])
-            d = jnp.minimum(rot, m)[None]  # (1, s_sub, LANE) broadcast
+            rows.append(rotate_flat(win, rem_ref[i * block + s]))
+        d = jnp.minimum(jnp.stack(rows), m)  # (block, s_sub, LANE)
 
-            obs = obs_ref[0]  # (n_rows, s_sub, LANE)
-            z = obs - d
-            p = gauss_coef * jnp.exp(-(z * z) * inv2s2)
-            p = p + jnp.where(
-                obs < d, 2.0 * z_short * (d - obs) / jnp.maximum(d, 1.0), 0.0
-            )
-            p = p + jnp.where(obs >= m, z_max, 0.0)
-            p = p + jnp.where(obs < m, z_rand / m, 0.0)
-            gauss_sum = 0.5 * (
-                _erf((m - d + 0.5) / sq2) - _erf((-d - 0.5) / sq2)
-            )
-            norm = (
-                z_hit * gauss_sum
-                + jnp.where(d > 0, z_short * (d + 1.0), 0.0)
-                + z_max
-                + z_rand
-            )
-            logp = jnp.log(jnp.maximum(p, 1e-35)) - jnp.log(norm)
-            out_ref[s, 0] = inv_squash * jnp.sum(logp * masks_ref[:, :, :])
+        obs = obs_ref[0][None]  # (1, s_sub, LANE) broadcast over block
+        z = obs - d
+        p = gauss_coef * jnp.exp(-(z * z) * inv2s2)
+        p = p + jnp.where(
+            obs < d, 2.0 * z_short * (d - obs) / jnp.maximum(d, 1.0), 0.0
+        )
+        p = p + jnp.where(obs >= m, z_max, 0.0)
+        p = p + jnp.where(obs < m, z_rand / m, 0.0)
+        gauss_sum = 0.5 * (_erf((m - d + 0.5) / sq2) - _erf((-d - 0.5) / sq2))
+        norm = (
+            z_hit * gauss_sum
+            + jnp.where(d > 0, z_short * (d + 1.0), 0.0)
+            + z_max
+            + z_rand
+        )
+        logp = (jnp.log(jnp.maximum(p, 1e-35)) - jnp.log(norm)) * masks_ref[None]
+        for s in range(block):
+            out_ref[s, 0] = inv_squash * jnp.sum(logp[s])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # y0 (N,), rem (N,)
         grid=(n // block,),
         in_specs=[
             pl.BlockSpec(
-                (1, n_rows, s_sub, LANE),
-                lambda i, *_: (0, 0, 0, 0),
+                (1, s_sub, LANE),
+                lambda i, *_: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (n_rows, s_sub, LANE),
-                lambda i, *_: (0, 0, 0),
-                memory_space=pltpu.VMEM,
+                (s_sub, LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -297,7 +296,7 @@ def build_lut_query_fn(
         # observed px spread to the rotated-window lane layout (tiny gather)
         obs_clip = jnp.minimum(obs_px, m)
         obs_lanes = obs_clip[jnp.asarray(obs_layout_flat)].reshape(
-            1, masks_const.shape[0], s_sub, LANE
+            1, s_sub, LANE
         )
 
         lut3 = lut_flat.reshape(-1, 4, LANE)
