@@ -47,7 +47,8 @@ def _build_single(num_particles, num_beams, map_hw, march_iters, seed=0,
         raycast_method=method,
     )
     pf = ParticleFilter(gm, cfg)
-    beams = np.linspace(-np.pi * 0.75, np.pi * 0.75, num_beams).astype(np.float32)
+    inc = 1.5 * np.pi / max(num_beams - 1, 1)
+    beams = (-0.75 * np.pi + np.arange(num_beams) * inc).astype(np.float32)
     pf.set_beam_angles(beams)
     # a real scan from the map center so the likelihood path is realistic
     center = np.array(
@@ -83,7 +84,7 @@ def bench_updates(num_particles, num_beams, map_hw=768, march_iters=48,
 
 
 def bench_fleet(fleet_size, num_particles, num_beams=60, map_hw=400,
-                march_iters=48, warmup=2, iters=20):
+                march_iters=48, warmup=2, iters=20, method="lut"):
     """Vmapped fleet: returns fleet-steps/sec (each = fleet_size MCL updates)."""
     import jax
     import jax.numpy as jnp
@@ -97,7 +98,11 @@ def bench_fleet(fleet_size, num_particles, num_beams=60, map_hw=400,
     ff = FleetFilter(
         gm,
         fleet_size=fleet_size,
-        config=MCLConfig(max_particles=num_particles, sphere_march_iters=march_iters),
+        config=MCLConfig(
+            max_particles=num_particles,
+            sphere_march_iters=march_iters,
+            raycast_method=method,
+        ),
         beam_angles=beams,
     )
     center = np.array(
@@ -120,14 +125,19 @@ def bench_fleet(fleet_size, num_particles, num_beams=60, map_hw=400,
 CONFIGS = {
     # BASELINE.json workload configs (synthetic stand-ins for the map assets)
     1: dict(kind="single", particles=4000, beams=60, map_hw=768,
+            method="lut_pallas",
             note="config#1: 4000p x 60-beam downsampled (levine-like)"),
     2: dict(kind="single", particles=4000, beams=60, map_hw=400,
+            method="lut_pallas",
             note="config#2: sibal1-like fast inner loop"),
     3: dict(kind="single", particles=4000, beams=1080, map_hw=1536,
+            method="lut_pallas",
             note="config#3: Spielberg-like full 1080-beam scans"),
     4: dict(kind="single", particles=100_000, beams=60, map_hw=1024,
+            method="lut_pallas",
             note="config#4: 100k-particle global localization"),
     5: dict(kind="fleet", fleet=64, particles=4000, beams=60, map_hw=400,
+            method="lut",  # vmapped fleets use the XLA LUT path
             note="config#5: 64-car fleet x 4000 particles"),
 }
 
@@ -138,7 +148,7 @@ def run_config(n, quick=False):
     if c["kind"] == "single":
         ups = bench_updates(
             c["particles"], c["beams"], c["map_hw"], warmup=2 if quick else 3,
-            iters=iters,
+            iters=iters, method=c.get("method", "lut_pallas"),
         )
         rays = ups * c["particles"] * c["beams"]
         return dict(
@@ -151,6 +161,7 @@ def run_config(n, quick=False):
     ups = bench_fleet(
         c["fleet"], c["particles"], c["beams"], c["map_hw"],
         warmup=1 if quick else 2, iters=max(5, iters // 4),
+        method=c.get("method", "lut"),
     )
     return dict(
         metric=f"fleet_steps_per_sec[{c['note']}]",

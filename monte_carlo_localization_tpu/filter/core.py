@@ -310,3 +310,96 @@ class ParticleFilter:
             self.grid_map,
             self.sensor,
         )
+
+    def profile_phases(self, state: MCLState, action, observed_m, iters: int = 20):
+        """Per-phase timing breakdown, the analogue of the reference's
+        TimingStats printout (reference src/utils.cpp:105-125).
+
+        The production step is ONE fused XLA computation, so phases are
+        timed here as separate sub-jitted dispatches — the split is
+        diagnostic, not the production schedule. Returns a populated
+        :class:`~monte_carlo_localization_tpu.utils.timing.TimingStats`.
+        """
+        import time
+
+        from monte_carlo_localization_tpu.utils.timing import TimingStats
+
+        if self.beam_angles is None:
+            raise RuntimeError("beam_angles not set")
+        cfg = self.config
+        action = jnp.asarray(action, jnp.float32)
+        obs = jnp.asarray(observed_m, jnp.float32)
+
+        resample_j = jax.jit(
+            lambda key, lw, p: p[
+                resample_indices(key, lw, method=cfg.resample_method)
+            ]
+        )
+        motion_j = jax.jit(
+            lambda key, p: motion_model(
+                key,
+                p,
+                action,
+                dispersion_x=cfg.motion_dispersion_x,
+                dispersion_y=cfg.motion_dispersion_y,
+                dispersion_theta=cfg.motion_dispersion_theta,
+                exact_dt_heuristic=cfg.exact_dt_heuristic,
+            )
+        )
+        sensor_j = jax.jit(
+            lambda p: sensor_update(
+                p,
+                obs,
+                self.beam_angles,
+                self.grid_map,
+                self.sensor,
+                raycast_method=(
+                    "lut" if cfg.raycast_method == "lut_pallas" else cfg.raycast_method
+                ),
+                sphere_march_iters=cfg.sphere_march_iters,
+                sensor_mode=cfg.sensor_model_mode,
+            )
+        )
+
+        def timed(fn, *a, attr, stats):
+            out = fn(*a)
+            jax.block_until_ready(out)  # warm
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(*a)
+            jax.block_until_ready(out)
+            setattr(
+                stats, attr, getattr(stats, attr) + (time.perf_counter() - t0) * 1e3
+            )
+            return out
+
+        stats = TimingStats()
+        key, k1, k2 = jax.random.split(state.key, 3)
+        prop = timed(
+            resample_j, k1, state.log_weights, state.particles,
+            attr="resampling_time", stats=stats,
+        )
+        prop = timed(motion_j, k2, prop, attr="motion_model_time", stats=stats)
+        timed(sensor_j, prop, attr="sensor_model_time", stats=stats)
+
+        full = jax.jit(lambda s: self._step(s, action, obs, self.beam_angles,
+                                            self.grid_map, self.sensor))
+        # time the fused step without donation effects: rebuild state copies
+        s0 = MCLState(
+            particles=jnp.array(state.particles),
+            log_weights=jnp.array(state.log_weights),
+            key=key,
+        )
+        out = self._step(s0, action, obs, self.beam_angles, self.grid_map, self.sensor)
+        jax.block_until_ready(out[1])
+        t0 = time.perf_counter()
+        s_i = out[0]
+        for _ in range(iters):
+            s_i, pose = self._step(
+                s_i, action, obs, self.beam_angles, self.grid_map, self.sensor
+            )
+        jax.block_until_ready(pose)
+        stats.total_mcl_time = (time.perf_counter() - t0) * 1e3
+        stats.measurement_count = iters
+        # phase accumulators were measured over `iters` runs each too
+        return stats

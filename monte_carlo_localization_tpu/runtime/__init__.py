@@ -1,3 +1,4 @@
+from monte_carlo_localization_tpu.runtime.checkpoint import load_state, save_state
 from monte_carlo_localization_tpu.runtime.tracker import OdometryTracker
 from monte_carlo_localization_tpu.runtime.node import MCLNode
 from monte_carlo_localization_tpu.runtime.trace import (
@@ -16,4 +17,6 @@ __all__ = [
     "TraceWriter",
     "synthesize_trace",
     "HostRaycaster",
+    "save_state",
+    "load_state",
 ]

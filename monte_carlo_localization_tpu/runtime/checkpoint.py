@@ -1,0 +1,92 @@
+"""Filter state checkpoint / resume.
+
+The reference keeps all state in memory and loses it on restart
+(SURVEY.md §5: "Checkpoint / resume: None") — re-localization requires a
+manual global or RViz re-init. The TPU engine adds a small npz-based
+checkpoint: particles, log-weights, RNG key state, iteration counter and
+the host tracker anchors, so a node can resume tracking exactly where it
+stopped.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from monte_carlo_localization_tpu.filter.core import MCLState
+
+_VERSION = 1
+
+
+def save_state(
+    path: str | Path,
+    state: MCLState,
+    *,
+    iters: int = 0,
+    inferred_pose: np.ndarray | None = None,
+    tracker=None,
+    extra: dict | None = None,
+) -> None:
+    """Write a filter checkpoint (atomic replace)."""
+    path = Path(path)
+    arrays = dict(
+        version=np.asarray(_VERSION),
+        particles=np.asarray(state.particles),
+        log_weights=np.asarray(state.log_weights),
+        key_data=np.asarray(jax.random.key_data(state.key)),
+        iters=np.asarray(iters),
+    )
+    if inferred_pose is not None:
+        arrays["inferred_pose"] = np.asarray(inferred_pose)
+    if tracker is not None:
+        snap = tracker.snapshot()
+        arrays["tracker_active"] = np.asarray(tracker.active)
+        arrays["tracker_reference_pose"] = np.asarray(tracker._reference_pose)
+        arrays["tracker_reference_odom"] = np.asarray(tracker._reference_odom)
+        if snap.pose is not None:
+            arrays["tracker_pose"] = snap.pose
+        if snap.last_odom_pose is not None:
+            arrays["tracker_last_odom"] = snap.last_odom_pose
+    if extra:
+        for k, v in extra.items():
+            arrays[f"extra_{k}"] = np.asarray(v)
+    tmp = path.with_name(path.name + ".tmp")
+    np.savez_compressed(tmp, **arrays)
+    tmp_actual = tmp if tmp.exists() else tmp.with_suffix(tmp.suffix + ".npz")
+    tmp_actual.replace(path)
+
+
+def load_state(path: str | Path, tracker=None):
+    """Read a checkpoint -> (MCLState, meta dict). Restores the tracker
+    anchors in place when one is passed."""
+    z = np.load(Path(path), allow_pickle=False)
+    if int(z["version"]) != _VERSION:
+        raise ValueError(f"Unsupported checkpoint version {int(z['version'])}")
+    key = jax.random.wrap_key_data(jnp.asarray(z["key_data"]))
+    state = MCLState(
+        particles=jnp.asarray(z["particles"]),
+        log_weights=jnp.asarray(z["log_weights"]),
+        key=key,
+    )
+    meta = {"iters": int(z["iters"])}
+    if "inferred_pose" in z:
+        meta["inferred_pose"] = z["inferred_pose"]
+    if tracker is not None and "tracker_active" in z:
+        with tracker._lock:
+            tracker.active = bool(z["tracker_active"])
+            tracker._reference_pose = z["tracker_reference_pose"].copy()
+            tracker._reference_odom = z["tracker_reference_odom"].copy()
+            if "tracker_pose" in z:
+                tracker._odom_pose = z["tracker_pose"].copy()
+            if "tracker_last_odom" in z:
+                tracker._last_odom_pose = z["tracker_last_odom"].copy()
+    extra = {
+        k[len("extra_"):]: z[k] for k in z.files if k.startswith("extra_")
+    }
+    if extra:
+        meta["extra"] = extra
+    return state, meta
