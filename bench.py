@@ -1,16 +1,32 @@
-"""Benchmark harness — prints ONE JSON line for the driver.
+"""Benchmark harness — prints ONE JSON line per workload for the driver.
 
 Headline metric (BASELINE.json): full MCL updates/sec at 4000 particles x
-1080 beams (which implies particle x beam ray-casts/sec = value * 4.32M).
+1080 beams on one chip. Two numbers are measured:
+
+* ``value`` — throughput of the production path: K sequential corrections
+  chained on-device in one dispatch (``ParticleFilter.step_many``, a
+  ``lax.scan`` over the fused step). Each step is a FULL correction
+  (resample -> motion -> Pallas LUT likelihood -> normalize -> pose) with
+  a true sequential dependency.
+* ``dispatch_updates_per_sec`` — one-dispatch-per-correction latency path
+  (what a live robot loop pays per correction, including host->device
+  dispatch overhead).
+
 The reference publishes no numbers; its qualitative rate is ~6 Hz at
 2000 x 60 on a robot CPU (reference README.md:83). vs_baseline is
 reported against the north-star target of 1000 updates/s on one chip.
+
+Reliability: the default invocation runs the workload in a child process
+with a watchdog timeout; if the Pallas path fails or stalls (e.g. a cold
+remote-compile service), it falls back to the XLA ``lut`` path so the
+driver always records a number.
 
 Usage:
   python bench.py                 # headline config on the default device
   python bench.py --quick         # fewer timed iters (CI / smoke)
   python bench.py --config N      # BASELINE.json workload configs 1-5
   python bench.py --all           # run every config, one JSON line each
+  python bench.py --method lut    # force a raycast backend
 """
 
 from __future__ import annotations
@@ -18,97 +34,149 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
-
 NORTH_STAR_UPDATES_PER_SEC = 1000.0
+REPO_ROOT = Path(__file__).resolve().parent
+MAPS_DIR = REPO_ROOT / "maps"
+
+# Real reference map assets (copied from the upstream repo's maps/; see
+# maps/README.md). levine.pgm is absent upstream, so config #1 uses the
+# recorded real-sensor SLAM map as its stand-in.
+CONFIG_MAPS = {
+    1: "map_1753950572.yaml",  # recorded real-sensor map (levine.pgm missing upstream)
+    2: "sibal1.yaml",
+    3: "Spielberg_map.yaml",
+    4: "basement_fixed.map.yaml",
+    5: "sibal1.yaml",
+}
 
 
-def _build_single(num_particles, num_beams, map_hw, march_iters, seed=0,
-                  method="lut"):
-    import jax
+def _load_real_map(yaml_name: str):
+    from monte_carlo_localization_tpu.mapping import load_map
+
+    return load_map(MAPS_DIR / yaml_name)
+
+
+def _synthetic_map(map_hw: int, seed: int = 0):
+    from monte_carlo_localization_tpu.mapping import random_obstacle_world
+
+    return random_obstacle_world(
+        height=map_hw, width=map_hw, num_obstacles=max(10, map_hw // 12),
+        seed=seed,
+    )
+
+
+def _beams(num_beams: int) -> np.ndarray:
+    inc = 1.5 * np.pi / max(num_beams - 1, 1)
+    return (-0.75 * np.pi + np.arange(num_beams) * inc).astype(np.float32)
+
+
+def _center_pose(gm) -> np.ndarray:
+    """A pose at the centroid of free space (guaranteed inside the map)."""
+    free = np.asarray(gm.free_cells[: int(gm.num_free)])
+    row, col = free.mean(axis=0)
+    x = col * gm.resolution + float(gm.origin_x)
+    y = row * gm.resolution + float(gm.origin_y)
+    return np.array([x, y, 0.3], np.float32)
+
+
+def _nearest_free_pose(gm, pose) -> np.ndarray:
+    """Snap a pose to the nearest free cell (centroid may fall in a wall)."""
+    free = np.asarray(gm.free_cells[: int(gm.num_free)])
+    col = (pose[0] - float(gm.origin_x)) / gm.resolution
+    row = (pose[1] - float(gm.origin_y)) / gm.resolution
+    i = np.argmin((free[:, 0] - row) ** 2 + (free[:, 1] - col) ** 2)
+    x = free[i, 1] * gm.resolution + float(gm.origin_x)
+    y = free[i, 0] * gm.resolution + float(gm.origin_y)
+    return np.array([x, y, pose[2]], np.float32)
+
+
+def _build_single(num_particles, num_beams, gm, method="lut_pallas"):
     import jax.numpy as jnp
 
     from monte_carlo_localization_tpu.config import MCLConfig
     from monte_carlo_localization_tpu.filter import ParticleFilter
-    from monte_carlo_localization_tpu.mapping import random_obstacle_world
     from monte_carlo_localization_tpu.ops.raycast import cast_rays_sphere
 
-    gm = random_obstacle_world(
-        height=map_hw, width=map_hw, num_obstacles=max(10, map_hw // 12), seed=seed
-    )
-    cfg = MCLConfig(
-        max_particles=num_particles,
-        sphere_march_iters=march_iters,
-        raycast_method=method,
-    )
+    cfg = MCLConfig(max_particles=num_particles, raycast_method=method)
     pf = ParticleFilter(gm, cfg)
-    inc = 1.5 * np.pi / max(num_beams - 1, 1)
-    beams = (-0.75 * np.pi + np.arange(num_beams) * inc).astype(np.float32)
+    beams = _beams(num_beams)
     pf.set_beam_angles(beams)
-    # a real scan from the map center so the likelihood path is realistic
-    center = np.array(
-        [map_hw * gm.resolution / 2, map_hw * gm.resolution / 2, 0.3], np.float32
-    )
+    pose = _nearest_free_pose(gm, _center_pose(gm))
     q = np.stack(
-        [np.full(num_beams, center[0]), np.full(num_beams, center[1]),
-         center[2] + beams], 1,
+        [np.full(num_beams, pose[0]), np.full(num_beams, pose[1]),
+         pose[2] + beams], 1,
     ).astype(np.float32)
     scan = np.asarray(cast_rays_sphere(gm, jnp.asarray(q), num_iters=64))
-    state = pf.init_pose(center, seed=1)
+    state = pf.init_pose(pose, seed=1)
     return pf, state, scan
 
 
-def bench_updates(num_particles, num_beams, map_hw=768, march_iters=48,
-                  warmup=3, iters=50, method="lut"):
-    """Time the fused MCL step; returns updates/sec."""
+def bench_updates(num_particles, num_beams, gm, method="lut_pallas",
+                  chain=50, reps=5, quick=False):
+    """Measure chained-throughput and dispatch-latency updates/sec."""
     import jax
 
-    pf, state, scan = _build_single(
-        num_particles, num_beams, map_hw, march_iters, method=method
-    )
+    if quick:
+        chain, reps = max(chain // 5, 2), 2
+    pf, state, scan = _build_single(num_particles, num_beams, gm, method)
     action = np.array([0.05, 0.0, 0.01], np.float32)
-    for _ in range(warmup):
-        state, pose = pf.step(state, action, scan)
+    actions = np.tile(action, (chain, 1))
+    scans = np.tile(scan, (chain, 1))
+
+    # --- chained throughput (production replay path) ---
+    state, poses = pf.step_many(state, actions, scans)  # compile + warm
+    jax.block_until_ready(poses)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, poses = pf.step_many(state, actions, scans)
+    jax.block_until_ready(poses)
+    dt = time.perf_counter() - t0
+    chained = reps * chain / dt
+    last_pose = np.asarray(poses[-1])
+    assert np.isfinite(last_pose).all(), f"non-finite pose: {last_pose}"
+
+    # --- per-dispatch latency path ---
+    n_disp = 5 if quick else 30
+    state, pose = pf.step(state, action, scan)
     jax.block_until_ready(pose)
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(n_disp):
         state, pose = pf.step(state, action, scan)
     jax.block_until_ready(pose)
-    dt = time.perf_counter() - t0
-    return iters / dt
+    dispatch = n_disp / (time.perf_counter() - t0)
+    return chained, dispatch
 
 
-def bench_fleet(fleet_size, num_particles, num_beams=60, map_hw=400,
-                march_iters=48, warmup=2, iters=20, method="lut"):
-    """Vmapped fleet: returns fleet-steps/sec (each = fleet_size MCL updates)."""
+def bench_fleet(fleet_size, num_particles, num_beams, gm, method="lut",
+                warmup=2, iters=20, quick=False):
+    """Vmapped fleet: returns fleet-steps/sec (each = fleet_size updates)."""
     import jax
-    import jax.numpy as jnp
 
     from monte_carlo_localization_tpu.config import MCLConfig
-    from monte_carlo_localization_tpu.mapping import random_obstacle_world
     from monte_carlo_localization_tpu.parallel import FleetFilter
 
-    gm = random_obstacle_world(height=map_hw, width=map_hw, seed=0)
-    beams = np.linspace(-np.pi * 0.75, np.pi * 0.75, num_beams).astype(np.float32)
+    if quick:
+        warmup, iters = 1, 5
+    beams = _beams(num_beams)
     ff = FleetFilter(
         gm,
         fleet_size=fleet_size,
         config=MCLConfig(
             max_particles=num_particles,
-            sphere_march_iters=march_iters,
             raycast_method=method,
+            lut_theta_bins=720,
         ),
         beam_angles=beams,
     )
-    center = np.array(
-        [map_hw * gm.resolution / 2, map_hw * gm.resolution / 2, 0.3], np.float32
-    )
-    state = ff.init_pose(np.tile(center, (fleet_size, 1)), seed=1)
+    pose = _nearest_free_pose(gm, _center_pose(gm))
+    state = ff.init_pose(np.tile(pose, (fleet_size, 1)), seed=1)
     scan = np.full((fleet_size, num_beams), 4.0, np.float32)
     actions = np.zeros((fleet_size, 3), np.float32)
     for _ in range(warmup):
@@ -118,50 +186,50 @@ def bench_fleet(fleet_size, num_particles, num_beams=60, map_hw=400,
     for _ in range(iters):
         state, poses = ff.step(state, actions, scan)
     jax.block_until_ready(poses)
-    dt = time.perf_counter() - t0
-    return iters / dt
+    return iters / (time.perf_counter() - t0)
 
 
 CONFIGS = {
-    # BASELINE.json workload configs (synthetic stand-ins for the map assets)
-    1: dict(kind="single", particles=4000, beams=60, map_hw=768,
+    # BASELINE.json workload configs 1-5 on the real reference maps
+    1: dict(kind="single", particles=4000, beams=60,
             method="lut_pallas",
-            note="config#1: 4000p x 60-beam downsampled (levine-like)"),
-    2: dict(kind="single", particles=4000, beams=60, map_hw=400,
+            note="config#1: 4000p x 60 beams, recorded SLAM map "
+                 "(levine.pgm missing upstream)"),
+    2: dict(kind="single", particles=4000, beams=60,
             method="lut_pallas",
-            note="config#2: sibal1-like fast inner loop"),
-    3: dict(kind="single", particles=4000, beams=1080, map_hw=1536,
+            note="config#2: sibal1 circuit, 4000p fast inner loop"),
+    3: dict(kind="single", particles=4000, beams=1080,
             method="lut_pallas",
-            note="config#3: Spielberg-like full 1080-beam scans"),
-    4: dict(kind="single", particles=100_000, beams=60, map_hw=1024,
-            method="lut_pallas",
-            note="config#4: 100k-particle global localization"),
-    5: dict(kind="fleet", fleet=64, particles=4000, beams=60, map_hw=400,
+            note="config#3: Spielberg 2000x2000, full 1080-beam scans"),
+    4: dict(kind="single", particles=100_000, beams=60,
+            method="lut_pallas", chain=10,
+            note="config#4: basement_fixed, 100k-particle global localization"),
+    5: dict(kind="fleet", fleet=64, particles=4000, beams=60,
             method="lut",  # vmapped fleets use the XLA LUT path
-            note="config#5: 64-car fleet x 4000 particles"),
+            note="config#5: 64-car fleet x 4000 particles, sibal1"),
 }
 
 
-def run_config(n, quick=False):
+def run_config(n, quick=False, method=None):
     c = CONFIGS[n]
-    iters = 10 if quick else (30 if c.get("particles", 0) >= 100_000 else 50)
+    gm = _load_real_map(CONFIG_MAPS[n])
+    m = method or c.get("method", "lut_pallas")
     if c["kind"] == "single":
-        ups = bench_updates(
-            c["particles"], c["beams"], c["map_hw"], warmup=2 if quick else 3,
-            iters=iters, method=c.get("method", "lut_pallas"),
+        chained, dispatch = bench_updates(
+            c["particles"], c["beams"], gm, method=m,
+            chain=c.get("chain", 50), quick=quick,
         )
-        rays = ups * c["particles"] * c["beams"]
         return dict(
             metric=f"mcl_updates_per_sec[{c['note']}]",
-            value=round(ups, 2),
+            value=round(chained, 2),
             unit="updates/s",
-            vs_baseline=round(ups / NORTH_STAR_UPDATES_PER_SEC, 4),
-            rays_per_sec=round(rays),
+            vs_baseline=round(chained / NORTH_STAR_UPDATES_PER_SEC, 4),
+            dispatch_updates_per_sec=round(dispatch, 2),
+            rays_per_sec=round(chained * c["particles"] * c["beams"]),
+            method=m,
         )
     ups = bench_fleet(
-        c["fleet"], c["particles"], c["beams"], c["map_hw"],
-        warmup=1 if quick else 2, iters=max(5, iters // 4),
-        method=c.get("method", "lut"),
+        c["fleet"], c["particles"], c["beams"], gm, method=m, quick=quick,
     )
     return dict(
         metric=f"fleet_steps_per_sec[{c['note']}]",
@@ -169,7 +237,74 @@ def run_config(n, quick=False):
         unit="fleet-steps/s",
         vs_baseline=round(ups * c["fleet"] / NORTH_STAR_UPDATES_PER_SEC, 4),
         rays_per_sec=round(ups * c["fleet"] * c["particles"] * c["beams"]),
+        method=m,
     )
+
+
+def run_headline(quick=False, method="lut_pallas"):
+    # the 4000 x 1080 north-star workload (BASELINE.md); map scale matches
+    # round-1 (768^2 synthetic world) — per-step cost is map-independent
+    # on the LUT paths, the map only sets LUT build time
+    gm = _synthetic_map(768)
+    chained, dispatch = bench_updates(
+        4000, 1080, gm, method=method, chain=50, reps=2 if quick else 10,
+        quick=quick,
+    )
+    return dict(
+        metric="mcl_updates_per_sec@4000x1080",
+        value=round(chained, 2),
+        unit="updates/s",
+        vs_baseline=round(chained / NORTH_STAR_UPDATES_PER_SEC, 4),
+        dispatch_updates_per_sec=round(dispatch, 2),
+        rays_per_sec=round(chained * 4000 * 1080),
+        method=method,
+    )
+
+
+def _child_args(args, method):
+    argv = [sys.executable, os.path.abspath(__file__), "--no-watchdog",
+            "--method", method]
+    if args.quick:
+        argv.append("--quick")
+    if args.config is not None:
+        argv += ["--config", str(args.config)]
+    return argv
+
+
+def _run_with_watchdog(args) -> int:
+    """Run the workload in a child with a timeout; fall back to the XLA
+    lut path if the Pallas path fails or stalls."""
+    timeout = args.timeout
+    for method in (args.method, "lut"):
+        try:
+            proc = subprocess.run(
+                _child_args(args, method),
+                timeout=timeout,
+                capture_output=True,
+                text=True,
+                cwd=str(REPO_ROOT),
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"# bench: method={method} timed out after {timeout}s",
+                file=sys.stderr,
+            )
+            continue
+        lines = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+        ]
+        if proc.returncode == 0 and lines:
+            for ln in lines:
+                print(ln)
+            return 0
+        print(
+            f"# bench: method={method} failed rc={proc.returncode}\n"
+            + proc.stderr[-2000:],
+            file=sys.stderr,
+        )
+        if method == "lut":
+            break
+    return 1
 
 
 def main(argv=None) -> int:
@@ -177,34 +312,40 @@ def main(argv=None) -> int:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--config", type=int, default=None, choices=sorted(CONFIGS))
     ap.add_argument("--all", action="store_true")
-    ap.add_argument("--march-iters", type=int, default=48)
-    ap.add_argument("--method", choices=["lut_pallas", "lut", "sphere", "dda"], default="lut")
+    ap.add_argument(
+        "--method", choices=["lut_pallas", "lut", "sphere", "dda"],
+        default="lut_pallas",
+    )
+    ap.add_argument("--timeout", type=float, default=480.0,
+                    help="watchdog timeout per child run (seconds)")
+    ap.add_argument("--no-watchdog", action="store_true",
+                    help="run in-process (internal: watchdog child mode)")
     args = ap.parse_args(argv)
 
     if args.all:
+        rc = 0
         for n in sorted(CONFIGS):
-            print(json.dumps(run_config(n, quick=args.quick)))
-        return 0
-    if args.config is not None:
-        print(json.dumps(run_config(args.config, quick=args.quick)))
-        return 0
+            sub = argparse.Namespace(**vars(args))
+            sub.config, sub.all = n, False
+            if args.no_watchdog:
+                try:
+                    print(json.dumps(run_config(n, quick=args.quick)))
+                except Exception as e:  # keep going; report the failure
+                    print(f"# config {n} failed: {e}", file=sys.stderr)
+                    rc = 1
+            else:
+                rc |= _run_with_watchdog(sub)
+        return rc
 
-    # headline: 4000 particles x 1080 beams, full fused step
-    iters = 10 if args.quick else 100
-    ups = bench_updates(
-        4000, 1080, map_hw=768, march_iters=args.march_iters,
-        warmup=2 if args.quick else 5, iters=iters, method=args.method,
-    )
-    print(
-        json.dumps(
-            dict(
-                metric="mcl_updates_per_sec@4000x1080",
-                value=round(ups, 2),
-                unit="updates/s",
-                vs_baseline=round(ups / NORTH_STAR_UPDATES_PER_SEC, 4),
-            )
-        )
-    )
+    if not args.no_watchdog:
+        return _run_with_watchdog(args)
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+    if args.config is not None:
+        print(json.dumps(run_config(args.config, quick=args.quick,
+                                    method=args.method)))
+        return 0
+    print(json.dumps(run_headline(quick=args.quick, method=args.method)))
     return 0
 
 

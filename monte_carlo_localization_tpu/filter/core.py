@@ -227,9 +227,10 @@ class ParticleFilter:
             beams_np = np.asarray(self.beam_angles)
             t = suggest_theta_bins(beams_np)
             stride = required_row_stride(t, beams_np)
-            self.grid_map = self.grid_map.with_range_lut(t).with_padded_lut(
-                stride
-            )
+            # padded layout built directly inside the LUT sweep (one
+            # program) — a separate pad/gather pass cold-compiles
+            # pathologically slowly on the remote-compile TPU backend
+            self.grid_map = self.grid_map.with_range_lut(t, row_stride=stride)
             gm = self.grid_map
             query, _ = build_lut_query_fn(
                 gm.lut_theta_bins,
@@ -256,23 +257,31 @@ class ParticleFilter:
                 obs_px = sensor.to_pixel_index(observed_m).astype(jnp.float32)
                 return query(gmap.range_lut, particles, obs_px)
 
-        self._step = jax.jit(
-            partial(
-                mcl_step,
-                resample_method=cfg.resample_method,
-                raycast_method=cfg.raycast_method,
-                sphere_march_iters=cfg.sphere_march_iters,
-                sensor_mode=cfg.sensor_model_mode,
-                motion_dispersion=(
-                    cfg.motion_dispersion_x,
-                    cfg.motion_dispersion_y,
-                    cfg.motion_dispersion_theta,
-                ),
-                exact_dt_heuristic=cfg.exact_dt_heuristic,
-                likelihood_fn=likelihood_fn,
+        step_fn = partial(
+            mcl_step,
+            resample_method=cfg.resample_method,
+            raycast_method=cfg.raycast_method,
+            sphere_march_iters=cfg.sphere_march_iters,
+            sensor_mode=cfg.sensor_model_mode,
+            motion_dispersion=(
+                cfg.motion_dispersion_x,
+                cfg.motion_dispersion_y,
+                cfg.motion_dispersion_theta,
             ),
-            donate_argnums=(0,),
+            exact_dt_heuristic=cfg.exact_dt_heuristic,
+            likelihood_fn=likelihood_fn,
         )
+        self._step = jax.jit(step_fn, donate_argnums=(0,))
+
+        def steps_fn(state, actions, scans, beams, gmap, sensor):
+            def body(s, inp):
+                a, o = inp
+                s2, pose = step_fn(s, a, o, beams, gmap, sensor)
+                return s2, pose
+
+            return jax.lax.scan(body, state, (actions, scans))
+
+        self._step_many = jax.jit(steps_fn, donate_argnums=(0,))
 
     def set_beam_angles(self, beam_angles: np.ndarray) -> None:
         """Lazy beam setup, the analogue of lidarCB's first-scan branch
@@ -305,6 +314,29 @@ class ParticleFilter:
         return self._step(
             state,
             jnp.asarray(action, dtype=jnp.float32),
+            jnp.asarray(observed_m, dtype=jnp.float32),
+            self.beam_angles,
+            self.grid_map,
+            self.sensor,
+        )
+
+    def step_many(
+        self, state: MCLState, actions, observed_m
+    ) -> tuple[MCLState, jnp.ndarray]:
+        """K sequential MCL corrections in ONE device dispatch.
+
+        ``actions`` is (K, 3) and ``observed_m`` is (K, R) — one
+        (action, scan) pair per correction, chained via ``lax.scan`` so the
+        whole sequence runs on-device with no per-step dispatch latency.
+        Returns (state_after_K, poses (K, 3)). This is the throughput path
+        for trace replay and benchmarking; ``step`` is the low-latency
+        one-correction path the dual-rate runtime uses.
+        """
+        if self.beam_angles is None:
+            raise RuntimeError("beam_angles not set — call set_beam_angles() first")
+        return self._step_many(
+            state,
+            jnp.asarray(actions, dtype=jnp.float32),
             jnp.asarray(observed_m, dtype=jnp.float32),
             self.beam_angles,
             self.grid_map,

@@ -79,8 +79,18 @@ class GridMap:
         t_bins: int | None = None,
         backend: str = "auto",
         use_cache: bool = True,
+        row_stride: int = 0,
     ) -> "GridMap":
-        """Return a copy with the angle-quantized range LUT attached."""
+        """Return a copy with the angle-quantized range LUT attached.
+
+        With ``row_stride > t_bins`` each cell's row is physically
+        ``row_stride`` entries with angle-wraparound content in the tail
+        (entry b = logical bin b % T) — the layout the Pallas query kernel
+        needs. The padding is built INSIDE the builder sweep (both device
+        and host paths), never as a separate giant pad/gather program: on
+        the remote-compile TPU backend a standalone (H*W, stride) gather
+        cold-compiles in minutes and has wedged the compile service.
+        """
         import dataclasses
 
         from monte_carlo_localization_tpu.mapping.range_lut import (
@@ -90,13 +100,23 @@ class GridMap:
         )
 
         t = t_bins or DEFAULT_THETA_BINS
-        if self.range_lut is not None and self.lut_theta_bins == t:
+        stride = row_stride or t
+        if stride < t:
+            raise ValueError(f"row_stride {stride} < t_bins {t}")
+        if (
+            self.range_lut is not None
+            and self.lut_theta_bins == t
+            and (self.lut_row_stride or t) == stride
+        ):
             return self
+        h, w = self.occupancy.shape[-2:]
+        if h * w * stride > np.iinfo(np.int64).max // 4:
+            raise ValueError("LUT too large")  # unreachable sanity bound
         if backend in ("auto", "device") and (
             backend == "device" or jax.default_backend() != "cpu"
         ):
             # build ON the accelerator: only the occupancy grid crosses
-            # the host->device link, not the multi-hundred-MB LUT
+            # the host->device link, not the multi-GB LUT
             from monte_carlo_localization_tpu.mapping.range_lut_device import (
                 build_range_lut_jax_jit,
             )
@@ -106,17 +126,20 @@ class GridMap:
                 lut = jnp.stack(
                     [
                         build_range_lut_jax_jit(
-                            occ[i], t, self.max_range_px
+                            occ[i], t, self.max_range_px, stride
                         ).reshape(-1)
                         for i in range(occ.shape[0])
                     ]
                 )
             else:
-                lut = build_range_lut_jax_jit(occ, t, self.max_range_px).reshape(
-                    -1
-                )
+                lut = build_range_lut_jax_jit(
+                    occ, t, self.max_range_px, stride
+                ).reshape(-1)
             return dataclasses.replace(
-                self, range_lut=lut, lut_theta_bins=t, lut_row_stride=0
+                self,
+                range_lut=lut,
+                lut_theta_bins=t,
+                lut_row_stride=stride if stride != t else 0,
             )
         occupied = np.asarray(self.occupied)
         build = cached_range_lut if use_cache else build_range_lut
@@ -124,24 +147,34 @@ class GridMap:
             lut = np.stack(
                 [
                     np.ascontiguousarray(
-                        build(occupied[i], t, self.max_range_px, backend=backend)
+                        build(
+                            occupied[i], t, self.max_range_px,
+                            backend=backend, row_stride=stride,
+                        )
                     ).reshape(-1)
                     for i in range(occupied.shape[0])
                 ]
             )
         else:
             lut = np.ascontiguousarray(
-                build(occupied, t, self.max_range_px, backend=backend)
+                build(
+                    occupied, t, self.max_range_px,
+                    backend=backend, row_stride=stride,
+                )
             ).reshape(-1)
         return dataclasses.replace(
-            self, range_lut=jnp.asarray(lut), lut_theta_bins=t, lut_row_stride=0
+            self,
+            range_lut=jnp.asarray(lut),
+            lut_theta_bins=t,
+            lut_row_stride=stride if stride != t else 0,
         )
 
     def with_padded_lut(self, row_stride: int) -> "GridMap":
-        """Pad each LUT row to ``row_stride`` entries, filling the tail with
-        angle-wraparound content (bins mod T), ON DEVICE. The Pallas query
-        kernel requires its per-cell window [b0, b0+span) to live inside
-        one padded row. Idempotent for the same stride."""
+        """Copy with the LUT padded to ``row_stride`` entries per row (angle
+        wraparound in the tail). Prefer ``with_range_lut(t, row_stride=...)``
+        which builds the padded layout directly; this re-pads an
+        already-attached LUT (host-side numpy; cheap, memory-bound).
+        Idempotent for the same stride."""
         import dataclasses
 
         if self.range_lut is None:
@@ -151,13 +184,13 @@ class GridMap:
         if self.lut_row_stride != 0:
             raise ValueError("LUT already padded with a different stride")
         t = self.lut_theta_bins
+        rows = np.asarray(self.range_lut).reshape(-1, t)
         reps = -(-row_stride // t)  # ceil
-        rows = self.range_lut.reshape(-1, t)
-        padded = jnp.tile(rows, (1, reps))[:, :row_stride].reshape(
+        padded = np.tile(rows, (1, reps))[:, :row_stride].reshape(
             *self.range_lut.shape[:-1], -1
         )
         return dataclasses.replace(
-            self, range_lut=padded, lut_row_stride=row_stride
+            self, range_lut=jnp.asarray(padded), lut_row_stride=row_stride
         )
 
     @property

@@ -32,7 +32,6 @@ from pathlib import Path
 import numpy as np
 
 DEFAULT_THETA_BINS = 1440  # 0.25 deg — matches a 1080-beam 270-deg lidar
-_INT32_LIMIT = 2**31 - 1
 
 
 def build_range_lut_numpy(
@@ -78,36 +77,58 @@ def build_range_lut(
     t_bins: int = DEFAULT_THETA_BINS,
     max_range_px: int = 240,
     backend: str = "auto",
+    row_stride: int = 0,
 ) -> np.ndarray:
-    """(H, W, T) uint8 range-in-px LUT. backend: auto | native | numpy."""
+    """(H, W, T) uint8 range-in-px LUT. backend: auto | native | numpy.
+
+    With ``row_stride > t_bins`` the last axis is padded to ``row_stride``
+    with angle-wraparound content (entry b = bin b % T) for the Pallas
+    query kernel. Query paths index the LUT as a 2-D (cell, bin) array so
+    no single flat index needs to fit int32; the total size is bounded
+    only by memory.
+    """
     if max_range_px > 254:
         raise ValueError(
             f"range LUT stores u8 px; max_range_px={max_range_px} > 254 "
             "(lower max_range or use a coarser map)"
         )
     h, w = occupied.shape
-    if h * w * t_bins > _INT32_LIMIT:
+    nbytes = h * w * (row_stride or t_bins)
+    max_bytes = int(os.environ.get("MCL_LUT_MAX_BYTES", 16 << 30))
+    if nbytes > max_bytes:
         raise ValueError(
-            f"H*W*T = {h * w * t_bins} exceeds int32 flat indexing; "
-            f"reduce t_bins (got {t_bins})"
+            f"range LUT would be {nbytes / 2**30:.1f} GiB "
+            f"(H={h}, W={w}, stride={row_stride or t_bins}) > "
+            f"{max_bytes / 2**30:.1f} GiB limit; reduce t_bins or set "
+            "MCL_LUT_MAX_BYTES"
         )
+    lut = None
     if backend in ("auto", "native"):
         try:
             from monte_carlo_localization_tpu.native import native_build_range_lut
 
-            out = native_build_range_lut(occupied, t_bins, max_range_px)
-            if out is not None:
-                return out
+            lut = native_build_range_lut(occupied, t_bins, max_range_px)
         except Exception:
             if backend == "native":
                 raise
-    return build_range_lut_numpy(occupied, t_bins, max_range_px)
+    if lut is None:
+        lut = build_range_lut_numpy(occupied, t_bins, max_range_px)
+    if row_stride and row_stride != t_bins:
+        if row_stride < t_bins:
+            raise ValueError(f"row_stride {row_stride} < t_bins {t_bins}")
+        reps = -(-row_stride // t_bins)
+        lut = np.ascontiguousarray(
+            np.tile(lut.reshape(-1, t_bins), (1, reps))[:, :row_stride]
+        ).reshape(*occupied.shape, row_stride)
+    return lut
 
 
-def _cache_key(occupied: np.ndarray, t_bins: int, max_range_px: int) -> str:
+def _cache_key(
+    occupied: np.ndarray, t_bins: int, max_range_px: int, row_stride: int = 0
+) -> str:
     hsh = hashlib.sha256()
     hsh.update(np.ascontiguousarray(occupied.astype(np.uint8)).tobytes())
-    hsh.update(f"{t_bins}|{max_range_px}|v2".encode())
+    hsh.update(f"{t_bins}|{max_range_px}|{row_stride or t_bins}|v3".encode())
     return hsh.hexdigest()[:24]
 
 
@@ -117,6 +138,7 @@ def cached_range_lut(
     max_range_px: int = 240,
     cache_dir: str | os.PathLike | None = None,
     backend: str = "auto",
+    row_stride: int = 0,
 ) -> np.ndarray:
     """build_range_lut with a per-map on-disk cache (npy, mmap-loaded)."""
     cache_dir = Path(
@@ -124,10 +146,14 @@ def cached_range_lut(
         or os.environ.get("MCL_LUT_CACHE", Path.home() / ".cache" / "tpu_mcl")
     )
     cache_dir.mkdir(parents=True, exist_ok=True)
-    path = cache_dir / f"rlut_{_cache_key(occupied, t_bins, max_range_px)}.npy"
+    path = cache_dir / (
+        f"rlut_{_cache_key(occupied, t_bins, max_range_px, row_stride)}.npy"
+    )
     if path.exists():
         return np.load(path, mmap_mode="r")
-    lut = build_range_lut(occupied, t_bins, max_range_px, backend=backend)
+    lut = build_range_lut(
+        occupied, t_bins, max_range_px, backend=backend, row_stride=row_stride
+    )
     tmp = path.with_name(path.stem + ".tmp.npy")
     np.save(tmp, lut)
     os.replace(tmp, path)

@@ -85,13 +85,43 @@ def _sweep_group(occ_p: jnp.ndarray, rel: np.ndarray, step_len: np.ndarray,
     return out_seq[jnp.argsort(order)]  # (P, B, Q)
 
 
+def _group_bins_padded(t_bins: int, row_stride: int):
+    """Like _group_bins but over ``row_stride`` physical bins where physical
+    bin b carries the angle of logical bin ``b % t_bins`` (the wraparound
+    padding the Pallas query kernel needs). Building the duplicates inside
+    the same sweep costs ~stride/T extra compute but avoids a separate
+    giant pad/gather program (which cold-compiles pathologically slowly on
+    the remote-compile backend)."""
+    thetas = 2.0 * np.pi * (np.arange(row_stride) % t_bins) / t_bins
+    c, s = np.cos(thetas), np.sin(thetas)
+    row_major = np.abs(s) >= np.abs(c)
+    sp = np.where(row_major, np.sign(s), np.sign(c)).astype(np.int64)
+    sp[sp == 0] = 1
+    groups = {}
+    for rm in (True, False):
+        for d in (1, -1):
+            idx = np.nonzero(row_major == rm)[0]
+            idx = idx[sp[idx] == d]
+            if len(idx):
+                groups[(rm, d)] = idx
+    return groups, c, s
+
+
 def build_range_lut_jax(
-    occupied, t_bins: int, max_range_px: int
+    occupied, t_bins: int, max_range_px: int, row_stride: int = 0
 ) -> jnp.ndarray:
-    """(H, W, T) uint8 range LUT, built entirely on device."""
+    """(H, W, T) uint8 range LUT, built entirely on device.
+
+    With ``row_stride > t_bins`` the output's last axis is ``row_stride``
+    with wraparound content (entry b = logical bin b % t_bins), ready for
+    the Pallas query kernel — no separate padding pass needed.
+    """
     occupied = jnp.asarray(occupied, jnp.bool_)
     h, w = occupied.shape
-    groups, c, s = _group_bins(t_bins)
+    if row_stride and row_stride != t_bins:
+        groups, c, s = _group_bins_padded(t_bins, row_stride)
+    else:
+        groups, c, s = _group_bins(t_bins)
     out_parts = []
     bin_order = []
 
@@ -127,5 +157,5 @@ def build_range_lut_jax(
 
 
 build_range_lut_jax_jit = jax.jit(
-    build_range_lut_jax, static_argnums=(1, 2)
+    build_range_lut_jax, static_argnums=(1, 2, 3)
 )

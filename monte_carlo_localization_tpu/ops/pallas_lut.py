@@ -287,11 +287,12 @@ def build_lut_query_fn(
         b0 = jnp.round(particles[:, 2] * (t / (2.0 * math.pi))).astype(jnp.int32)
         b0 = jax.lax.rem(b0 + base, t)
         b0 = jnp.where(b0 < 0, b0 + t, b0)
-        b_floor = (b0 // SUB) * SUB
-        rem = b0 - b_floor
-        start = cell * row_stride + b_floor
-        start = jnp.where(oob, 0, start)
-        y0 = start // SUB
+        rem = jax.lax.rem(b0, SUB)
+        # subrow index computed directly in 512 B units: cell*(stride/512)
+        # stays < 2^31 for any map whose LUT fits in memory, unlike the
+        # flat byte offset cell*stride (int32 overflow at ~0.7M cells)
+        y0 = cell * (row_stride // SUB) + b0 // SUB
+        y0 = jnp.where(oob, 0, y0)
 
         # observed px spread to the rotated-window lane layout (tiny gather)
         obs_clip = jnp.minimum(obs_px, m)

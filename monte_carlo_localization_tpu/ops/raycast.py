@@ -174,8 +174,10 @@ def cast_rays_lut(grid_map: GridMap, queries: jnp.ndarray) -> jnp.ndarray:
     b = jnp.where(b < 0, b + t, b)
     cell = jnp.clip(gy, 0, h - 1) * w + jnp.clip(gx, 0, w - 1)
     row_stride = grid_map.lut_row_stride or t
-    idx = cell * row_stride + b
-    px = grid_map.range_lut[idx].astype(queries.dtype)
+    # 2-D (cell, bin) indexing: each index stays < 2^31 even for maps where
+    # the flat cell*stride+bin product would overflow int32 (Spielberg-scale)
+    lut2d = grid_map.range_lut.reshape(-1, row_stride)
+    px = lut2d[cell, b].astype(queries.dtype)
     r = jnp.where(oob, 0.0, px * res)
     return jnp.minimum(r, jnp.asarray(grid_map.max_range_meters, dtype=r.dtype))
 
@@ -207,8 +209,10 @@ def lut_expected_px(
     b = jnp.round(ang * (t / (2.0 * jnp.pi))).astype(jnp.int32) % t
     b = jnp.where(b < 0, b + t, b)
     row_stride = grid_map.lut_row_stride or t
-    idx = cell[:, None] * row_stride + b
-    px = grid_map.range_lut[idx.reshape(-1)].reshape(idx.shape)
+    # 2-D (cell, bin) indexing avoids int32 flat-offset overflow at
+    # Spielberg-scale H*W*stride (see cast_rays_lut)
+    lut2d = grid_map.range_lut.reshape(-1, row_stride)
+    px = lut2d[cell[:, None], b]
     return jnp.where(oob[:, None], 0.0, px.astype(jnp.float32))
 
 

@@ -78,7 +78,9 @@ def test_lut_guards():
     with pytest.raises(ValueError):
         build_range_lut(occ, 64, max_range_px=300)  # u8 overflow
     with pytest.raises(ValueError):
-        build_range_lut(np.zeros((40000, 40000), bool), 1440, 240)  # int32
+        build_range_lut(np.zeros((40000, 40000), bool), 1440, 240)  # memory
+    with pytest.raises(ValueError):
+        build_range_lut(occ, 64, 100, row_stride=32)  # stride < t_bins
 
 
 def test_cache_roundtrip(tmp_path):
