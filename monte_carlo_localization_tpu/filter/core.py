@@ -252,6 +252,7 @@ class ParticleFilter:
                 interpret=jax.default_backend() == "cpu",
             )
             sensor = self.sensor
+            self._pallas_query = query  # exposed for tests/diagnostics
 
             def likelihood_fn(particles, observed_m, gmap):
                 obs_px = sensor.to_pixel_index(observed_m).astype(jnp.float32)

@@ -143,6 +143,15 @@ def build_lut_query_fn(
         raise ValueError(
             f"beam set needs {len(evals)} residual shifts at T={t_bins}"
         )
+    # lane layout q = j + e_j must be injective (one lane per beam); this
+    # holds iff e is nondecreasing, which is true for any monotone beam set
+    # (real lidars). A jittery/non-monotone beam set would silently merge
+    # two beams onto one lane — reject it.
+    if len(set((np.arange(r) + e).tolist())) < r:
+        raise ValueError(
+            "beam set maps two beams to one LUT lane (non-monotone "
+            "residuals); sort/uniform-space the beams or change t_bins"
+        )
     n_e = len(evals)
     wbytes = window_bytes(t_bins, beam_angles)
     need = required_row_stride(t_bins, beam_angles)
@@ -257,7 +266,7 @@ def build_lut_query_fn(
             pl.BlockSpec(
                 (s_sub, LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (block, 1), lambda i, *_: (i, 0), memory_space=pltpu.SMEM

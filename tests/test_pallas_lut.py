@@ -1,0 +1,363 @@
+"""Tests for the fused Pallas LUT+likelihood kernel (interpret mode on CPU).
+
+The kernel is the production fast path (ops/pallas_lut.py); these tests pin
+its full contract — window DMA addressing, the 512-residual rotation, the
+static lane layout, the in-kernel analytic beam model (reference likelihood
+contract, reference src/particle_filter.cpp:506-583) — against a numpy
+oracle that replicates the kernel's own bin decomposition with exact erf.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from scipy.special import erf as scipy_erf
+
+import jax
+import jax.numpy as jnp
+
+from monte_carlo_localization_tpu.ops.pallas_lut import (
+    MAX_RESIDUAL_SHIFTS,
+    SUB,
+    beam_geometry,
+    build_lut_query_fn,
+    required_row_stride,
+    suggest_theta_bins,
+    window_bytes,
+)
+
+Z_HIT, Z_SHORT, Z_MAX, Z_RAND = 0.80, 0.05, 0.05, 0.10
+SIGMA = 8.0
+INV_SQUASH = 1.0 / 2.2
+
+
+def _make_lut(rng, n_cells, row_stride, t_bins, max_range_px):
+    """Random padded LUT with proper wraparound tail (entry b = bin b%T)."""
+    base = rng.integers(0, max_range_px + 1, size=(n_cells, t_bins)).astype(
+        np.uint8
+    )
+    reps = -(-row_stride // t_bins)
+    return np.tile(base, (1, reps))[:, :row_stride].copy()
+
+
+def _oracle_logw(
+    lut2d, particles, obs_px, beams, t_bins, max_range_px,
+    *, height, width, resolution, origin_x, origin_y,
+):
+    """Numpy twin of the kernel's likelihood — same bin decomposition
+    (b0 + j + e_j over the padded row), exact erf."""
+    base, k, e = beam_geometry(beams, t_bins)
+    assert k == 1
+    n = len(particles)
+    r = len(beams)
+    m = float(max_range_px)
+
+    gx = (particles[:, 0] - origin_x) / resolution
+    gy = (particles[:, 1] - origin_y) / resolution
+    gx = gx.astype(np.int32)
+    gy = gy.astype(np.int32)
+    oob = (gx < 0) | (gx >= width) | (gy < 0) | (gy >= height)
+    cell = np.clip(gy, 0, height - 1) * width + np.clip(gx, 0, width - 1)
+    b0 = np.round(particles[:, 2] * (t_bins / (2 * math.pi))).astype(np.int64)
+    b0 = (b0 + base) % t_bins
+
+    bins = b0[:, None] + np.arange(r)[None, :] + e[None, :]  # padded-row index
+    d = np.minimum(lut2d[cell[:, None], bins].astype(np.float64), m)
+    obs = np.minimum(obs_px, m)[None, :]
+
+    gauss_coef = Z_HIT / (SIGMA * math.sqrt(2 * math.pi))
+    z = obs - d
+    p = gauss_coef * np.exp(-(z * z) / (2 * SIGMA * SIGMA))
+    p = p + np.where(obs < d, 2 * Z_SHORT * (d - obs) / np.maximum(d, 1.0), 0)
+    p = p + np.where(obs >= m, Z_MAX, 0.0)
+    p = p + np.where(obs < m, Z_RAND / m, 0.0)
+    sq2 = math.sqrt(2.0) * SIGMA
+    gauss_sum = 0.5 * (
+        scipy_erf((m - d + 0.5) / sq2) - scipy_erf((-d - 0.5) / sq2)
+    )
+    norm = (
+        Z_HIT * gauss_sum
+        + np.where(d > 0, Z_SHORT * (d + 1.0), 0.0)
+        + Z_MAX
+        + Z_RAND
+    )
+    logp = np.log(np.maximum(p, 1e-35)) - np.log(norm)
+    logw = INV_SQUASH * logp.sum(axis=1)
+    return np.where(oob, -1e4, logw)
+
+
+def _build(beams, num_particles, *, height, width, resolution=0.05,
+           origin_x=0.0, origin_y=0.0, max_range_px=120, t_bins=None,
+           block=16):
+    t = t_bins or suggest_theta_bins(beams)
+    stride = required_row_stride(t, beams)
+    query, info = build_lut_query_fn(
+        t, beams, num_particles,
+        height=height, width=width, resolution=resolution,
+        origin_x=origin_x, origin_y=origin_y, max_range_px=max_range_px,
+        row_stride=stride,
+        z_hit=Z_HIT, z_short=Z_SHORT, z_max=Z_MAX, z_rand=Z_RAND,
+        sigma_hit=SIGMA, inv_squash=INV_SQUASH,
+        block=block, interpret=True,
+    )
+    return query, info, t, stride
+
+
+def _run_case(rng, beams, n, height=24, width=32, t_bins=None,
+              theta_gen=None, xy_gen=None, max_range_px=120):
+    query, info, t, stride = _build(
+        beams, n, height=height, width=width, t_bins=t_bins,
+        max_range_px=max_range_px,
+    )
+    lut2d = _make_lut(rng, height * width, stride, t, max_range_px)
+    res, ox, oy = 0.05, 0.0, 0.0
+    if xy_gen is None:
+        x = rng.uniform(0.01, width * res - 0.01, n)
+        y = rng.uniform(0.01, height * res - 0.01, n)
+    else:
+        x, y = xy_gen(n)
+    theta = (
+        rng.uniform(-2 * math.pi, 2 * math.pi, n)
+        if theta_gen is None
+        else theta_gen(n)
+    )
+    particles = np.stack([x, y, theta], 1).astype(np.float32)
+    obs_px = rng.uniform(0, max_range_px, len(beams)).astype(np.float32)
+
+    got = np.asarray(
+        query(jnp.asarray(lut2d.reshape(-1)), jnp.asarray(particles),
+              jnp.asarray(obs_px))
+    )
+    want = _oracle_logw(
+        lut2d, particles.astype(np.float64), obs_px.astype(np.float64),
+        beams, t, max_range_px,
+        height=height, width=width, resolution=res, origin_x=ox, origin_y=oy,
+    )
+    return got, want
+
+
+def _assert_close(got, want, tol=2e-3):
+    # f32 kernel vs f64 oracle; A&S erf approx |err| < 1.5e-7 per term
+    np.testing.assert_allclose(got, want, rtol=0, atol=tol)
+
+
+BEAMS_60 = np.linspace(-2.35, 2.35, 60).astype(np.float32)
+
+
+class TestGeometryHelpers:
+    def test_suggest_theta_bins_matches_increment(self):
+        t = suggest_theta_bins(BEAMS_60)
+        inc = np.median(np.abs(np.diff(BEAMS_60)))
+        assert t == max(8, int(round(2 * math.pi / inc)))
+
+    def test_beam_geometry_reconstructs_bins(self):
+        for t in (79, 160, 1439):
+            base, k, e = beam_geometry(BEAMS_60, t)
+            if k != 1:
+                continue
+            delta = 2 * math.pi / t
+            bins = np.round(BEAMS_60.astype(np.float64) / delta).astype(int)
+            rec = base + k * np.arange(len(BEAMS_60)) + e
+            np.testing.assert_array_equal(rec, bins)
+            assert e.min() == 0
+
+    def test_window_and_stride_invariants(self):
+        t = suggest_theta_bins(BEAMS_60)
+        w = window_bytes(t, BEAMS_60)
+        s = required_row_stride(t, BEAMS_60)
+        assert w % SUB == 0 and s % SUB == 0
+        base, k, e = beam_geometry(BEAMS_60, t)
+        span = len(BEAMS_60) + e.max()
+        # any window start b0 < t must fit: floor(b0) + w <= s
+        assert SUB * ((t - 1) // SUB) + w <= s
+        assert w >= span
+
+    def test_k_not_one_rejected(self):
+        # T far larger than one bin per beam step -> k > 1
+        with pytest.raises(ValueError):
+            window_bytes(100000, BEAMS_60)
+
+
+class TestKernelParity:
+    def test_random_particles_60_beams(self):
+        rng = np.random.default_rng(0)
+        got, want = _run_case(rng, BEAMS_60, 64)
+        _assert_close(got, want)
+
+    def test_wraparound_bins(self):
+        """Headings that put b0 near T (window crosses the wraparound pad)."""
+        rng = np.random.default_rng(1)
+        t = suggest_theta_bins(BEAMS_60)
+
+        def theta_gen(n):
+            # b0 = round(theta*T/2pi)+base mod T near T-1
+            return rng.uniform(2 * math.pi - 0.3, 2 * math.pi + 0.3, n)
+
+        got, want = _run_case(rng, BEAMS_60, 48, theta_gen=theta_gen)
+        _assert_close(got, want)
+
+    def test_every_residual_shift_exercised(self):
+        """A beam set whose residuals span several distinct (monotone)
+        shifts: spacing slightly wider than one bin accumulates e = 0..4."""
+        rng = np.random.default_rng(2)
+        t = suggest_theta_bins(BEAMS_60)
+        delta = 2 * math.pi / t
+        beams = (np.arange(60) * delta * 1.07 - 2.0).astype(np.float32)
+        base, k, e = beam_geometry(beams, t)
+        assert k == 1
+        assert len(set(e.tolist())) >= 3, "case must exercise >2 shifts"
+        got, want = _run_case(rng, beams, 32, t_bins=t)
+        _assert_close(got, want)
+
+    def test_non_injective_beams_rejected(self):
+        """Non-monotone residuals would merge two beams onto one lane —
+        the kernel builder must reject instead of silently miscomputing."""
+        t = suggest_theta_bins(BEAMS_60)
+        delta = 2 * math.pi / t
+        beams = BEAMS_60.copy()
+        beams[7] += 1.4 * delta  # push beam 7 onto beam 8's bin
+        beams[8] -= 0.4 * delta
+        base, k, e = beam_geometry(beams, t)
+        q = np.arange(60) + e
+        if len(set(q.tolist())) == 60:
+            pytest.skip("perturbation did not create a collision")
+        with pytest.raises(ValueError):
+            _build(beams, 16, height=8, width=8, t_bins=t)
+
+    def test_out_of_map_particles(self):
+        rng = np.random.default_rng(3)
+
+        def xy_gen(n):
+            x = rng.uniform(-5.0, 5.0, n)  # map is only 1.6 m wide
+            y = rng.uniform(-5.0, 5.0, n)
+            return x, y
+
+        got, want = _run_case(rng, BEAMS_60, 48, xy_gen=xy_gen)
+        oob = got == -1e4
+        assert oob.any(), "case must include out-of-map particles"
+        _assert_close(got, want)
+
+    def test_block_boundary_and_padding(self):
+        """N spanning multiple blocks; identical particles across a block
+        boundary must produce identical log-weights."""
+        rng = np.random.default_rng(4)
+        n, block = 48, 16
+        query, info, t, stride = _build(BEAMS_60, n, height=24, width=32,
+                                        block=block)
+        lut2d = _make_lut(rng, 24 * 32, stride, t, 120)
+        one = np.array([0.7, 0.6, 1.1], np.float32)
+        particles = np.tile(one, (n, 1))
+        particles[:block] = np.array([0.3, 0.2, -0.4], np.float32)
+        obs = rng.uniform(0, 120, 60).astype(np.float32)
+        got = np.asarray(
+            query(jnp.asarray(lut2d.reshape(-1)), jnp.asarray(particles),
+                  jnp.asarray(obs))
+        )
+        assert np.allclose(got[block:], got[block], atol=0), (
+            "same particle in different blocks must agree exactly"
+        )
+        assert not np.isclose(got[0], got[block])
+
+    def test_1080_beam_headline_geometry(self):
+        rng = np.random.default_rng(5)
+        r = 1080
+        beams = np.linspace(-0.75 * np.pi, 0.75 * np.pi, r).astype(np.float32)
+        got, want = _run_case(rng, beams, 16, height=16, width=16)
+        _assert_close(got, want, tol=5e-3)  # 18x more beams summed
+
+    def test_row_stride_too_small_rejected(self):
+        t = suggest_theta_bins(BEAMS_60)
+        need = required_row_stride(t, BEAMS_60)
+        with pytest.raises(ValueError):
+            build_lut_query_fn(
+                t, BEAMS_60, 16, height=8, width=8, resolution=0.05,
+                origin_x=0.0, origin_y=0.0, max_range_px=100,
+                row_stride=need - SUB,
+                z_hit=Z_HIT, z_short=Z_SHORT, z_max=Z_MAX, z_rand=Z_RAND,
+                sigma_hit=SIGMA, inv_squash=INV_SQUASH, interpret=True,
+            )
+
+    def test_bad_block_divisor_rejected(self):
+        t = suggest_theta_bins(BEAMS_60)
+        with pytest.raises(ValueError):
+            build_lut_query_fn(
+                t, BEAMS_60, 17, height=8, width=8, resolution=0.05,
+                origin_x=0.0, origin_y=0.0, max_range_px=100,
+                row_stride=required_row_stride(t, BEAMS_60),
+                z_hit=Z_HIT, z_short=Z_SHORT, z_max=Z_MAX, z_rand=Z_RAND,
+                sigma_hit=SIGMA, inv_squash=INV_SQUASH,
+                block=16, interpret=True,
+            )
+
+
+class TestFilterIntegration:
+    def test_lut_pallas_filter_matches_lut_filter(self, clutter_map, beams60,
+                                                  make_scan):
+        """End-to-end: a lut_pallas ParticleFilter step's log-weights agree
+        with the XLA lut+analytic path within bin-quantization tolerance."""
+        from monte_carlo_localization_tpu.config import MCLConfig
+        from monte_carlo_localization_tpu.filter import ParticleFilter
+
+        n = 256
+        pose = np.array([10.0, 10.0, 0.5], np.float32)
+        scan = make_scan(clutter_map, pose, beams60)
+
+        pf = ParticleFilter(
+            clutter_map,
+            MCLConfig(
+                max_particles=n, raycast_method="lut_pallas",
+                z_hit=Z_HIT, z_short=Z_SHORT, z_max=Z_MAX, z_rand=Z_RAND,
+                sigma_hit=SIGMA, squash_factor=1.0 / INV_SQUASH,
+            ),
+        )
+        pf.set_beam_angles(beams60)
+
+        from monte_carlo_localization_tpu.ops.raycast import lut_expected_px
+
+        state = pf.init_pose(pose, seed=0)
+        particles = np.asarray(state.particles)
+        obs_px = pf.sensor.to_pixel_index(jnp.asarray(scan)).astype(
+            jnp.float32
+        )
+
+        # XLA twin on the SAME padded LUT and theta bins
+        d_px = lut_expected_px(
+            pf.grid_map, jnp.asarray(particles), jnp.asarray(beams60)
+        )
+        logp = pf.sensor.log_prob_analytic(obs_px[None, :], d_px)
+        want = np.asarray(pf.sensor.inv_squash_factor * logp.sum(axis=1))
+
+        # the kernel via the filter's own query closure
+        gm = pf.grid_map
+        got = np.asarray(
+            pf._pallas_query(gm.range_lut, jnp.asarray(particles), obs_px)
+        )
+
+        # (a) EXACT against the same-decomposition oracle on the real map
+        # LUT (pins the DMA windows / rotation / lane layout end-to-end)
+        lut2d = np.asarray(gm.range_lut).reshape(-1, gm.lut_row_stride)
+        exact = _oracle_logw(
+            lut2d, particles.astype(np.float64),
+            np.asarray(obs_px, np.float64), np.asarray(beams60),
+            gm.lut_theta_bins, gm.max_range_px,
+            height=gm.height, width=gm.width, resolution=gm.resolution,
+            origin_x=float(gm.origin_x), origin_y=float(gm.origin_y),
+        )
+        np.testing.assert_allclose(got, exact, rtol=0, atol=1e-3)
+
+        # (b) against the XLA lut twin the paths quantize the ray angle
+        # differently (round(a+b) vs round(a)+round(b): one theta bin),
+        # which near range discontinuities legitimately moves individual
+        # log-weights — so compare ranking, not values
+        c = np.corrcoef(got, want)[0, 1]
+        assert c > 0.9, f"kernel vs XLA lut path corr {c}"
+        # and the two paths' weighted pose estimates must agree closely
+        from monte_carlo_localization_tpu.filter.core import expected_pose
+
+        # (the schemes legitimately disagree per particle near range
+        # discontinuities, so compare both to the ground-truth pose the
+        # scan was synthesized at rather than tightly to each other)
+        pa = np.asarray(expected_pose(jnp.asarray(particles), jnp.asarray(got)))
+        pb = np.asarray(expected_pose(jnp.asarray(particles), jnp.asarray(want)))
+        assert np.linalg.norm(pa[:2] - pose[:2]) < 0.25, pa
+        assert np.linalg.norm(pb[:2] - pose[:2]) < 0.25, pb
