@@ -60,13 +60,22 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def suggest_theta_bins(beam_angles: np.ndarray) -> int:
-    """T such that one beam step ~= one theta bin (k=1) for this beam set."""
+def suggest_theta_bins(beam_angles: np.ndarray, target: int = 1440) -> int:
+    """T near ``target`` such that one beam step == an integer number k of
+    theta bins for this beam set (the kernel's contiguous-window trick
+    needs integral k >= 1).
+
+    For a full-resolution 1080-beam 270-degree scan this lands on k=1,
+    T~1439; for an 18x-downsampled 60-beam scan on k=18, T~1416 — same
+    0.25-degree angular quantization either way, instead of degrading to
+    one-bin-per-beam (4.5 degrees) as the old k=1-only rule did.
+    """
     a = np.asarray(beam_angles, np.float64)
     if len(a) < 2:
-        return 1440
+        return target
     inc = np.median(np.abs(np.diff(a)))
-    return max(8, int(round(2.0 * math.pi / inc)))
+    k = max(1, int(round(inc * target / (2.0 * math.pi))))
+    return max(8, int(round(2.0 * math.pi * k / inc)))
 
 
 def beam_geometry(beam_angles: np.ndarray, t_bins: int):
@@ -90,12 +99,12 @@ def beam_geometry(beam_angles: np.ndarray, t_bins: int):
 def window_bytes(t_bins: int, beam_angles: np.ndarray) -> int:
     """Static per-particle DMA window size (multiple of 512 B)."""
     base, k, e = beam_geometry(beam_angles, t_bins)
-    if k != 1:
+    span = k * (len(beam_angles) - 1) + int(e.max()) + 1
+    if span > t_bins:
         raise ValueError(
-            f"pallas LUT kernel needs one beam per theta-bin (k=1), got "
-            f"k={k} at T={t_bins}; use T = suggest_theta_bins(beam_angles)"
+            f"beam window spans {span} bins > T={t_bins}; use "
+            "T = suggest_theta_bins(beam_angles)"
         )
-    span = len(beam_angles) + int(e.max())
     return _round_up(SUB - 1 + span, SUB)
 
 
@@ -136,18 +145,15 @@ def build_lut_query_fn(
     """
     r = len(beam_angles)
     base, k, e = beam_geometry(beam_angles, t_bins)
-    if k != 1:
-        raise ValueError("pallas LUT kernel needs k=1 (see suggest_theta_bins)")
     evals = sorted(set(int(v) for v in e))
     if len(evals) > MAX_RESIDUAL_SHIFTS:
         raise ValueError(
             f"beam set needs {len(evals)} residual shifts at T={t_bins}"
         )
-    # lane layout q = j + e_j must be injective (one lane per beam); this
-    # holds iff e is nondecreasing, which is true for any monotone beam set
-    # (real lidars). A jittery/non-monotone beam set would silently merge
-    # two beams onto one lane — reject it.
-    if len(set((np.arange(r) + e).tolist())) < r:
+    # lane layout q = k*j + e_j must be injective (one lane per beam); it
+    # is for any monotone beam set (real lidars). A jittery/non-monotone
+    # beam set would silently merge two beams onto one lane — reject it.
+    if len(set((k * np.arange(r) + e).tolist())) < r:
         raise ValueError(
             "beam set maps two beams to one LUT lane (non-monotone "
             "residuals); sort/uniform-space the beams or change t_bins"
@@ -166,13 +172,13 @@ def build_lut_query_fn(
     y_rows = wbytes // SUB  # (4, 128) u8 subrows per DMA
 
     # Static lane layout in the ROTATED window: beam j sits at lane
-    # q = j + e_j. The map j -> q is injective (e_j is nondecreasing), so a
+    # q = k*j + e_j. The map j -> q is injective (validated above), so a
     # SINGLE mask row and a single per-lane observation vector suffice —
     # no residual axis in the compute at all.
     masks_np = np.zeros((s_sub, LANE), np.float32)
     obs_layout = np.zeros((s_sub * LANE,), np.int64)
     for j in range(r):
-        q = j + int(e[j])
+        q = k * j + int(e[j])
         masks_np[q // LANE, q % LANE] = 1.0
         obs_layout[q] = j
 

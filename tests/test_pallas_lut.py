@@ -47,7 +47,6 @@ def _oracle_logw(
     """Numpy twin of the kernel's likelihood — same bin decomposition
     (b0 + j + e_j over the padded row), exact erf."""
     base, k, e = beam_geometry(beams, t_bins)
-    assert k == 1
     n = len(particles)
     r = len(beams)
     m = float(max_range_px)
@@ -61,7 +60,7 @@ def _oracle_logw(
     b0 = np.round(particles[:, 2] * (t_bins / (2 * math.pi))).astype(np.int64)
     b0 = (b0 + base) % t_bins
 
-    bins = b0[:, None] + np.arange(r)[None, :] + e[None, :]  # padded-row index
+    bins = b0[:, None] + k * np.arange(r)[None, :] + e[None, :]  # padded-row idx
     d = np.minimum(lut2d[cell[:, None], bins].astype(np.float64), m)
     obs = np.minimum(obs_px, m)[None, :]
 
@@ -145,16 +144,21 @@ BEAMS_60 = np.linspace(-2.35, 2.35, 60).astype(np.float32)
 
 
 class TestGeometryHelpers:
-    def test_suggest_theta_bins_matches_increment(self):
+    def test_suggest_theta_bins_near_target(self):
+        # downsampled 60-beam scan must keep fine angular quantization by
+        # using k bins per beam step, not degrade to one bin per beam
         t = suggest_theta_bins(BEAMS_60)
-        inc = np.median(np.abs(np.diff(BEAMS_60)))
-        assert t == max(8, int(round(2 * math.pi / inc)))
+        assert 1000 <= t <= 2000
+        base, k, e = beam_geometry(BEAMS_60, t)
+        assert k >= 2
+        # full-res 1080-beam scan lands on k=1
+        beams1080 = np.linspace(-0.75 * np.pi, 0.75 * np.pi, 1080)
+        t2 = suggest_theta_bins(beams1080)
+        assert beam_geometry(beams1080, t2)[1] == 1
 
     def test_beam_geometry_reconstructs_bins(self):
         for t in (79, 160, 1439):
             base, k, e = beam_geometry(BEAMS_60, t)
-            if k != 1:
-                continue
             delta = 2 * math.pi / t
             bins = np.round(BEAMS_60.astype(np.float64) / delta).astype(int)
             rec = base + k * np.arange(len(BEAMS_60)) + e
@@ -162,20 +166,20 @@ class TestGeometryHelpers:
             assert e.min() == 0
 
     def test_window_and_stride_invariants(self):
-        t = suggest_theta_bins(BEAMS_60)
-        w = window_bytes(t, BEAMS_60)
-        s = required_row_stride(t, BEAMS_60)
-        assert w % SUB == 0 and s % SUB == 0
-        base, k, e = beam_geometry(BEAMS_60, t)
-        span = len(BEAMS_60) + e.max()
-        # any window start b0 < t must fit: floor(b0) + w <= s
-        assert SUB * ((t - 1) // SUB) + w <= s
-        assert w >= span
+        for t in (79, suggest_theta_bins(BEAMS_60)):
+            w = window_bytes(t, BEAMS_60)
+            s = required_row_stride(t, BEAMS_60)
+            assert w % SUB == 0 and s % SUB == 0
+            base, k, e = beam_geometry(BEAMS_60, t)
+            span = k * (len(BEAMS_60) - 1) + e.max() + 1
+            # any window start b0 < t must fit: floor(b0) + w <= s
+            assert SUB * ((t - 1) // SUB) + w <= s
+            assert w >= span
 
-    def test_k_not_one_rejected(self):
-        # T far larger than one bin per beam step -> k > 1
+    def test_window_exceeding_t_rejected(self):
+        # tiny T: the beam span no longer fits a single circle row
         with pytest.raises(ValueError):
-            window_bytes(100000, BEAMS_60)
+            window_bytes(32, BEAMS_60)
 
 
 class TestKernelParity:
@@ -212,7 +216,7 @@ class TestKernelParity:
     def test_non_injective_beams_rejected(self):
         """Non-monotone residuals would merge two beams onto one lane —
         the kernel builder must reject instead of silently miscomputing."""
-        t = suggest_theta_bins(BEAMS_60)
+        t = 79  # one bin per beam step: adjacent beams can collide
         delta = 2 * math.pi / t
         beams = BEAMS_60.copy()
         beams[7] += 1.4 * delta  # push beam 7 onto beam 8's bin
