@@ -3,7 +3,9 @@ launch file (reference launch/mcl_launch.py:19-147), ROS-free.
 
 Subcommands:
   replay      run a recorded trace through the engine, report RMSE/rates
+  live        replay a trace in REAL TIME through the dual-rate LiveRunner
   make-trace  synthesize a golden trace by driving a simulated car in a map
+  baseline    measure the reference-faithful CPU harness on a trace
   bench       run the benchmark harness (same as `python bench.py`)
   info        inspect a map or trace file
 
@@ -76,6 +78,16 @@ def cmd_make_trace(args) -> int:
     return 0
 
 
+def _make_sink(path: str):
+    from monte_carlo_localization_tpu.runtime import JsonlSink, NpzSink
+
+    if path.endswith(".jsonl"):
+        return JsonlSink(path)
+    if path.endswith(".npz"):
+        return NpzSink(path)
+    raise SystemExit(f"--record-out must end in .jsonl or .npz: {path!r}")
+
+
 def cmd_replay(args) -> int:
     from monte_carlo_localization_tpu.runtime import MCLNode, Trace
 
@@ -84,11 +96,14 @@ def cmd_replay(args) -> int:
     cfg = _load_cfg(args)
     log = print if args.verbose else (lambda s: None)
     node = MCLNode(gm, cfg, log=log)
+    if args.record_out:
+        node.add_sink(_make_sink(args.record_out))
     if args.init == "truth" and trace.truth_pose is not None:
         node.initialize_pose(trace.truth_pose[0])
     elif args.init == "global":
         pass  # node starts globally initialized
     res = node.replay(trace)
+    node.close_sinks()
     out = dict(
         corrections=len(res.times),
         updates_per_sec=round(res.updates_per_sec, 2),
@@ -97,6 +112,99 @@ def cmd_replay(args) -> int:
         particles=cfg.max_particles,
         beams=int(np.ceil(trace.num_beams / cfg.angle_step)),
         map=gm.name,
+    )
+    if args.record_out:
+        out["record_out"] = args.record_out
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_live(args) -> int:
+    """Feed a trace through the node in REAL TIME: odometry/scans arrive at
+    their recorded wall-clock rates on the main thread while the LiveRunner
+    ticks at timer_frequency on its own thread — the reference's dual-rate
+    process topology (SURVEY §2.1)."""
+    from monte_carlo_localization_tpu.runtime import (
+        LiveRunner,
+        MCLNode,
+        Trace,
+        TraceReader,
+    )
+
+    gm = _resolve_map(args.map, args.map_dir, args.max_range)
+    trace = Trace.load(args.trace)
+    cfg = _load_cfg(args)
+    node = MCLNode(gm, cfg, log=print if args.verbose else (lambda s: None))
+    if args.record_out:
+        node.add_sink(_make_sink(args.record_out))
+    if trace.truth_pose is not None:
+        node.initialize_pose(trace.truth_pose[0])
+
+    duration = args.duration or min(trace.duration, 10.0)
+    t0 = time.monotonic()
+    with LiveRunner(node) as runner:
+        for ev in TraceReader(trace):
+            if ev.t > duration:
+                break
+            lag = ev.t - (time.monotonic() - t0)
+            if lag > 0:
+                time.sleep(lag)
+            if ev.kind == "odom":
+                op, tw = trace.odom_pose[ev.index], trace.odom_twist[ev.index]
+                node.on_odometry(op[0], op[1], op[2], tw[0], tw[1], stamp=ev.t)
+            else:
+                node.on_scan(
+                    trace.scan_ranges[ev.index], beam_angles=trace.beam_angles
+                )
+        wall = time.monotonic() - t0
+    node.close_sinks()
+    print(
+        json.dumps(
+            dict(
+                wall_s=round(wall, 2),
+                ticks=runner.ticks,
+                corrections=runner.corrections,
+                skipped_ticks=runner.skipped,
+                tick_hz=round(runner.ticks / wall, 1),
+                correction_hz=round(runner.corrections / wall, 1),
+                timer_frequency=cfg.timer_frequency,
+            )
+        )
+    )
+    return 0
+
+
+def cmd_baseline(args) -> int:
+    from monte_carlo_localization_tpu.baseline import (
+        replay_cpu_reference,
+        trajectory_rmse,
+    )
+    from monte_carlo_localization_tpu.runtime import Trace
+
+    gm = _resolve_map(args.map, args.map_dir, args.max_range)
+    trace = Trace.load(args.trace)
+    cfg = _load_cfg(args)
+    times, poses, stats, ups = replay_cpu_reference(
+        gm, trace, cfg, seed=0, max_corrections=args.corrections
+    )
+    out = dict(
+        engine="cpu_reference",
+        updates_per_sec=round(ups, 2),
+        corrections=len(times),
+        particles=cfg.max_particles,
+    )
+    if trace.truth_t is not None:
+        rx, rt = trajectory_rmse(times, poses, trace.truth_t, trace.truth_pose)
+        out["rmse_xy_m"] = round(rx, 4)
+        out["rmse_theta_rad"] = round(rt, 4)
+    n = max(stats.measurement_count, 1)
+    out["phase_ms"] = dict(
+        total=round(stats.total_mcl_time / n, 2),
+        raycast=round(stats.ray_casting_time / n, 2),
+        sensor=round(stats.sensor_model_time / n, 2),
+        query_prep=round(stats.query_prep_time / n, 2),
+        motion=round(stats.motion_model_time / n, 2),
+        resample=round(stats.resampling_time / n, 2),
     )
     print(json.dumps(out))
     return 0
@@ -177,8 +285,39 @@ def build_parser() -> argparse.ArgumentParser:
         "--resample", choices=["systematic", "multinomial"], default=None
     )
     rp.add_argument("--init", choices=["truth", "global"], default="truth")
+    rp.add_argument("--record-out", default=None, dest="record_out",
+                    help="stream outputs to a .jsonl or .npz sink")
     rp.add_argument("-v", "--verbose", action="store_true")
     rp.set_defaults(fn=cmd_replay)
+
+    lv = sub.add_parser("live", parents=[common])
+    lv.add_argument("--trace", required=True)
+    lv.add_argument("--config", default=None, help="mcl_config.yaml")
+    lv.add_argument("--particles", type=int, default=None)
+    lv.add_argument("--angle-step", type=int, default=None, dest="angle_step")
+    lv.add_argument(
+        "--raycast",
+        choices=["lut_pallas", "lut", "sphere", "dda"],
+        default=None,
+    )
+    lv.add_argument("--duration", type=float, default=None,
+                    help="seconds of trace to feed (default: min(trace, 10))")
+    lv.add_argument("--record-out", default=None, dest="record_out")
+    lv.add_argument("-v", "--verbose", action="store_true")
+    lv.set_defaults(fn=cmd_live, resample=None)
+
+    bl = sub.add_parser("baseline", parents=[common])
+    bl.add_argument("--trace", required=True)
+    bl.add_argument("--config", default=None)
+    bl.add_argument("--particles", type=int, default=None)
+    bl.add_argument("--angle-step", type=int, default=None, dest="angle_step")
+    bl.add_argument("--corrections", type=int, default=60,
+                    help="cap on replayed corrections (timing sample size)")
+    bl.set_defaults(fn=cmd_baseline, raycast=None, resample=None)
+
+    bn = sub.add_parser("bench")
+    bn.add_argument("rest", nargs=argparse.REMAINDER)
+    bn.set_defaults(fn=cmd_bench)
 
     inf = sub.add_parser("info")
     inf.add_argument("path")

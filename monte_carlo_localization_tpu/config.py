@@ -75,7 +75,11 @@ class MCLConfig:
     # --- engine knobs (new; TPU-native) ---
     use_parallel_raycasting: bool = True  # kept for config compat; engine is always batched
     num_threads: int = 0  # used by the native host raycaster (0 = auto)
-    raycast_method: str = "sphere"  # "lut" (precomputed, fastest) | "sphere" (EDT marching) | "dda" (reference-exact)
+    # "lut_pallas" (fused TPU kernel, fastest) | "lut" (precomputed, one
+    # gather/query, fast everywhere) | "sphere" (EDT marching, no precompute)
+    # | "dda" (reference-exact oracle). The default favors the common case:
+    # "lut" works on any backend with a seconds-scale per-map precompute.
+    raycast_method: str = "lut"
     sphere_march_iters: int = 48  # fixed sphere-marching trip count
     lut_theta_bins: int = 1440  # angle quantization of the "lut" backend (0.25 deg)
     sensor_model_mode: str = "analytic"  # "analytic" (gather-free) | "table" (reference LUT)

@@ -16,9 +16,12 @@ reference src/particle_filter.cpp:586-650):
   map border) and advances the ray by the full clearance (minus a safety
   margin), so open space is crossed in a handful of iterations instead of
   one step per cell. Fixed trip count (jit-static), masked convergence.
-  This is the production backend; its step-skipping near corners is no
-  worse than the reference's own 1-px stepping, which can also skip
-  diagonal corners.
+  Needs no per-map precompute beyond the EDT; its step-skipping near
+  corners is no worse than the reference's own 1-px stepping.
+
+* :func:`cast_rays_lut` — precomputed range LUT, ONE u8 gather per query:
+  the production XLA backend (and the data source for the even faster
+  fused Pallas kernel in ops/pallas_lut.py, the single-filter fast path).
 
 Both are pure jax.numpy (vmap/jit/shard_map-safe, CPU-runnable). All
 computation happens in pixel space; queries are (x, y, absolute angle)

@@ -31,6 +31,23 @@ from monte_carlo_localization_tpu.mapping.grid_map import GridMap, OCC_OCCUPIED
 from monte_carlo_localization_tpu.models.sensor import SensorModel
 
 
+def _validate_parallel_config(cfg: MCLConfig, who: str) -> None:
+    """Fail fast at construction, not at jit-trace time, on config values
+    the batched/sharded filters can't serve (mirrors ParticleFilter's own
+    validation)."""
+    if cfg.raycast_method == "lut_pallas":
+        raise ValueError(
+            f"{who} does not support raycast_method='lut_pallas' yet — the "
+            "fused Pallas kernel is single-filter; use 'lut'"
+        )
+    if cfg.raycast_method not in ("sphere", "dda", "lut"):
+        raise ValueError(f"Unknown raycast method: {cfg.raycast_method!r}")
+    if cfg.resample_method not in ("systematic", "multinomial"):
+        raise ValueError(f"Unknown resample method: {cfg.resample_method!r}")
+    if cfg.sensor_model_mode not in ("analytic", "table"):
+        raise ValueError(f"Unknown sensor model mode: {cfg.sensor_model_mode!r}")
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class FleetState:
@@ -133,6 +150,7 @@ class FleetFilter:
         (the pjit path; the explicit-collectives path is
         ShardedParticleFilter)."""
         self.config = config or MCLConfig()
+        _validate_parallel_config(self.config, "FleetFilter")
         self.map = grid_map
         self.fleet_size = fleet_size
         self.sensor = SensorModel.create(

@@ -50,6 +50,11 @@ class ShardedParticleFilter:
         beam_angles: np.ndarray | None = None,
     ):
         self.config = config or MCLConfig()
+        from monte_carlo_localization_tpu.parallel.fleet import (
+            _validate_parallel_config,
+        )
+
+        _validate_parallel_config(self.config, "ShardedParticleFilter")
         self.map = grid_map
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), (axis,))

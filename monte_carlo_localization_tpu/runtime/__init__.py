@@ -1,6 +1,13 @@
 from monte_carlo_localization_tpu.runtime.checkpoint import load_state, save_state
-from monte_carlo_localization_tpu.runtime.tracker import OdometryTracker
+from monte_carlo_localization_tpu.runtime.loop import LiveRunner
 from monte_carlo_localization_tpu.runtime.node import MCLNode
+from monte_carlo_localization_tpu.runtime.sinks import (
+    CallbackSink,
+    JsonlSink,
+    NpzSink,
+    Sink,
+)
+from monte_carlo_localization_tpu.runtime.tracker import OdometryTracker
 from monte_carlo_localization_tpu.runtime.trace import (
     HostRaycaster,
     Trace,
@@ -12,6 +19,11 @@ from monte_carlo_localization_tpu.runtime.trace import (
 __all__ = [
     "OdometryTracker",
     "MCLNode",
+    "LiveRunner",
+    "Sink",
+    "CallbackSink",
+    "JsonlSink",
+    "NpzSink",
     "Trace",
     "TraceReader",
     "TraceWriter",

@@ -47,10 +47,17 @@ def save_state(
         arrays["tracker_active"] = np.asarray(tracker.active)
         arrays["tracker_reference_pose"] = np.asarray(tracker._reference_pose)
         arrays["tracker_reference_odom"] = np.asarray(tracker._reference_odom)
+        arrays["tracker_velocity"] = np.asarray(snap.velocity)
+        arrays["tracker_angular_velocity"] = np.asarray(snap.angular_velocity)
+        arrays["tracker_from_seed"] = np.asarray(
+            tracker.pose_initialized_from_seed
+        )
         if snap.pose is not None:
             arrays["tracker_pose"] = snap.pose
         if snap.last_odom_pose is not None:
             arrays["tracker_last_odom"] = snap.last_odom_pose
+        if snap.last_stamp is not None:
+            arrays["tracker_last_stamp"] = np.asarray(snap.last_stamp)
     if extra:
         for k, v in extra.items():
             arrays[f"extra_{k}"] = np.asarray(v)
@@ -80,10 +87,17 @@ def load_state(path: str | Path, tracker=None):
             tracker.active = bool(z["tracker_active"])
             tracker._reference_pose = z["tracker_reference_pose"].copy()
             tracker._reference_odom = z["tracker_reference_odom"].copy()
+            if "tracker_velocity" in z:
+                tracker.velocity = float(z["tracker_velocity"])
+                tracker.angular_velocity = float(z["tracker_angular_velocity"])
+            if "tracker_from_seed" in z:
+                tracker.pose_initialized_from_seed = bool(z["tracker_from_seed"])
             if "tracker_pose" in z:
                 tracker._odom_pose = z["tracker_pose"].copy()
             if "tracker_last_odom" in z:
                 tracker._last_odom_pose = z["tracker_last_odom"].copy()
+            if "tracker_last_stamp" in z:
+                tracker._last_stamp = float(z["tracker_last_stamp"])
     extra = {
         k[len("extra_"):]: z[k] for k in z.files if k.startswith("extra_")
     }

@@ -37,6 +37,7 @@ import jax
 from monte_carlo_localization_tpu.config import MCLConfig
 from monte_carlo_localization_tpu.filter.core import MCLState, ParticleFilter
 from monte_carlo_localization_tpu.mapping.grid_map import GridMap
+from monte_carlo_localization_tpu.runtime.sinks import Sink
 from monte_carlo_localization_tpu.runtime.tracker import OdometryTracker
 from monte_carlo_localization_tpu.runtime.trace import Trace, TraceReader
 from monte_carlo_localization_tpu.utils.geometry import apply_vehicle_offset
@@ -75,6 +76,7 @@ class MCLNode:
 
         self.state: MCLState | None = None
         self.inferred_pose: np.ndarray | None = None
+        self.sinks: list[Sink] = []
         # Delay compensation projects the anchor forward by the measured
         # wall-time of the MCL step (reference :790-806) — meaningful only
         # when the clock driving update() is the same wall clock the stats
@@ -208,6 +210,52 @@ class MCLNode:
             self.stats.reset()
         return pose
 
+    # ----- sinks (the ROS-free publication surface, reference :857-983) -----
+    def add_sink(self, sink: Sink) -> None:
+        self.sinks.append(sink)
+
+    def close_sinks(self) -> None:
+        for s in self.sinks:
+            s.close()
+
+    def _wants(self, topic: str) -> bool:
+        """Subscriber-gating analogue (reference :928-934)."""
+        return any(s.wants(topic) for s in self.sinks)
+
+    def _publish(self, topic: str, t: float, payload: dict) -> None:
+        for s in self.sinks:
+            if s.wants(topic):
+                s.publish(topic, t, payload)
+
+    def publish_tick(self, t: float) -> None:
+        """Per-tick outputs: TF + odom from the pose priority chain —
+        published every tick whether or not MCL ran (reference :839-845,
+        :857-889)."""
+        if not self.sinks:
+            return
+        if self._wants("tf"):
+            self._publish("tf", t, {"pose": self.base_link_pose()})
+        if self.config.publish_odom and self._wants("odom"):
+            snap = self.tracker.snapshot()
+            self._publish(
+                "odom", t,
+                {
+                    "pose": self.base_link_pose(),
+                    "velocity": snap.velocity,
+                    "angular_velocity": snap.angular_velocity,
+                },
+            )
+
+    def publish_correction(self, t: float, pose: np.ndarray) -> None:
+        """Per-correction outputs: inferred pose + particle cloud
+        (reference visualize :923-983), gated on ``viz`` and sink demand."""
+        if not self.sinks or not self.config.viz:
+            return
+        if self._wants("pose"):
+            self._publish("pose", t, {"pose": np.asarray(pose)})
+        if self._wants("particles"):
+            self._publish("particles", t, {"cloud": self.particle_cloud()})
+
     # ----- outputs (reference :857-983) -----
     def current_pose(self) -> np.ndarray:
         particle_mean = None
@@ -260,10 +308,12 @@ class MCLNode:
                     trace.scan_ranges[ev.index], beam_angles=trace.beam_angles
                 )
                 pose = self.update(now=ev.t)
+                self.publish_tick(ev.t)
                 if pose is not None:
                     times.append(ev.t)
                     poses.append(pose)
                     tracked.append(self.current_pose())
+                    self.publish_correction(ev.t, pose)
         wall = time.perf_counter() - wall0
 
         times_a = np.asarray(times)

@@ -35,7 +35,7 @@ class TestFleet:
         ff = FleetFilter(
             clutter_map,
             fleet_size=4,
-            config=MCLConfig(max_particles=400),
+            config=MCLConfig(max_particles=400, raycast_method="sphere"),
             beam_angles=beams60,
         )
         state = ff.init_pose(np.tile(true_pose, (4, 1)), seed=0)
@@ -51,7 +51,7 @@ class TestFleet:
         ff = FleetFilter(
             clutter_map,
             fleet_size=3,
-            config=MCLConfig(max_particles=200),
+            config=MCLConfig(max_particles=200, raycast_method="sphere"),
             beam_angles=beams60,
         )
         state = ff.init_pose(np.tile(true_pose, (3, 1)), seed=0)
@@ -65,7 +65,7 @@ class TestFleet:
         ff = FleetFilter(
             clutter_map,
             fleet_size=8,
-            config=MCLConfig(max_particles=256),
+            config=MCLConfig(max_particles=256, raycast_method="sphere"),
             beam_angles=beams60,
             mesh=mesh,
         )
@@ -86,7 +86,7 @@ class TestFleet:
         p2 = np.array([3.0, 3.0, 0.1], np.float32)
         scan2 = synth_scan(m2, p2, beams60)
         ff = FleetFilter(
-            bm, fleet_size=2, config=MCLConfig(max_particles=400),
+            bm, fleet_size=2, config=MCLConfig(max_particles=400, raycast_method="sphere"),
             beam_angles=beams60,
         )
         state = ff.init_pose(np.stack([true_pose, p2]), seed=2)
@@ -108,7 +108,8 @@ class TestFleet:
         m2 = box_world(height=100, width=100)  # far fewer free cells
         bm = stack_maps([clutter_map, m2])
         ff = FleetFilter(
-            bm, fleet_size=2, config=MCLConfig(max_particles=4000)
+            bm, fleet_size=2,
+            config=MCLConfig(max_particles=4000, raycast_method="sphere")
         )
         state = ff.init_global(seed=3)
         p = np.asarray(state.particles)
@@ -123,7 +124,7 @@ class TestSharded:
     def test_sharded_matches_quality(self, clutter_map, beams60, scan60, true_pose):
         spf = ShardedParticleFilter(
             clutter_map,
-            MCLConfig(max_particles=16000, seed=0),
+            MCLConfig(max_particles=16000, seed=0, raycast_method="sphere"),
             beam_angles=beams60,
         )
         assert spf.num_devices == 8
@@ -135,7 +136,9 @@ class TestSharded:
     @needs_8
     def test_sharded_weights_normalized_globally(self, clutter_map, beams60, scan60):
         spf = ShardedParticleFilter(
-            clutter_map, MCLConfig(max_particles=800), beam_angles=beams60
+            clutter_map,
+            MCLConfig(max_particles=800, raycast_method="sphere"),
+            beam_angles=beams60,
         )
         state = spf.init_global(seed=2)
         state, pose = spf.step(state, np.zeros(3), scan60)
@@ -168,3 +171,35 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestShardedLut:
+    @needs_8
+    def test_sharded_lut_light(self, clutter_map, beams60, scan60):
+        """LUT backend under explicit-collectives sharding (kept light: the
+        8-virtual-devices-on-one-core CPU stand-in trips XLA's stuck-
+        collective watchdog if any shard's first gather runs too long)."""
+        spf = ShardedParticleFilter(
+            clutter_map,
+            MCLConfig(max_particles=800, lut_theta_bins=180),
+            beam_angles=beams60,
+        )
+        state = spf.init_global(seed=2)
+        for _ in range(2):
+            state, pose = spf.step(state, np.zeros(3), scan60)
+        assert np.isfinite(np.asarray(pose)).all()
+
+    def test_lut_pallas_rejected_in_parallel(self, clutter_map, beams60):
+        with pytest.raises(ValueError, match="lut_pallas"):
+            ShardedParticleFilter(
+                clutter_map,
+                MCLConfig(max_particles=800, raycast_method="lut_pallas"),
+                beam_angles=beams60,
+            )
+        with pytest.raises(ValueError, match="lut_pallas"):
+            FleetFilter(
+                clutter_map,
+                fleet_size=2,
+                config=MCLConfig(max_particles=64, raycast_method="lut_pallas"),
+                beam_angles=beams60,
+            )
