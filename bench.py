@@ -199,7 +199,7 @@ CONFIGS = {
             method="lut_pallas",
             note="config#2: sibal1 circuit, 4000p fast inner loop"),
     3: dict(kind="single", particles=4000, beams=1080,
-            method="lut_pallas",
+            method="lut_pallas", timeout=1200.0,
             note="config#3: Spielberg 2000x2000, full 1080-beam scans"),
     4: dict(kind="single", particles=100_000, beams=60,
             method="lut_pallas", chain=10,
@@ -275,6 +275,10 @@ def _run_with_watchdog(args) -> int:
     """Run the workload in a child with a timeout; fall back to the XLA
     lut path if the Pallas path fails or stalls."""
     timeout = args.timeout
+    if args.config is not None:
+        # per-config override (e.g. Spielberg's compact-LUT build needs
+        # ~14 min the first time the remote compile cache is cold)
+        timeout = max(timeout, CONFIGS[args.config].get("timeout", 0.0))
     for method in (args.method, "lut"):
         try:
             proc = subprocess.run(

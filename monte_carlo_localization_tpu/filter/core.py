@@ -18,6 +18,7 @@ phase each step.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field, replace
 from functools import partial
 from typing import Any
@@ -230,7 +231,16 @@ class ParticleFilter:
             # padded layout built directly inside the LUT sweep (one
             # program) — a separate pad/gather pass cold-compiles
             # pathologically slowly on the remote-compile TPU backend
-            self.grid_map = self.grid_map.with_range_lut(t, row_stride=stride)
+            gm0 = self.grid_map
+            dense_bytes = gm0.height * gm0.width * stride
+            max_dense = int(os.environ.get("MCL_LUT_DENSE_MAX", 2 << 30))
+            if dense_bytes > max_dense:
+                # giant map (Spielberg-scale): row-compacted LUT — cells
+                # beyond max_range share one constant far row, addressed
+                # through a per-cell row map
+                self.grid_map = gm0.with_compact_range_lut(t, stride)
+            else:
+                self.grid_map = gm0.with_range_lut(t, row_stride=stride)
             gm = self.grid_map
             query, _ = build_lut_query_fn(
                 gm.lut_theta_bins,
@@ -256,7 +266,10 @@ class ParticleFilter:
 
             def likelihood_fn(particles, observed_m, gmap):
                 obs_px = sensor.to_pixel_index(observed_m).astype(jnp.float32)
-                return query(gmap.range_lut, particles, obs_px)
+                return query(
+                    gmap.range_lut, particles, obs_px,
+                    row_map=gmap.lut_row_map,
+                )
 
         step_fn = partial(
             mcl_step,

@@ -68,6 +68,11 @@ class GridMap:
     # Optional precomputed range LUT (see mapping/range_lut.py):
     # flattened (H*W*T,) uint8 ranges-in-px; None until attached.
     range_lut: jnp.ndarray | None = None
+    # Optional compaction indirection (giant maps): (H*W,) int32 mapping a
+    # cell to its LUT row; row 0 is the shared constant far row for cells
+    # with clearance >= max_range (see range_lut_device.compact_row_map).
+    # None means the LUT is dense (row index == cell index).
+    lut_row_map: jnp.ndarray | None = None
     lut_theta_bins: int = field(default=0, metadata=dict(static=True))
     # Per-cell row stride of range_lut in entries; 0 means = lut_theta_bins.
     # The Pallas query kernel pads rows (with angle wraparound content) so
@@ -167,6 +172,61 @@ class GridMap:
             range_lut=jnp.asarray(lut),
             lut_theta_bins=t,
             lut_row_stride=stride if stride != t else 0,
+        )
+
+    def with_compact_range_lut(
+        self, t_bins: int, row_stride: int = 0, chunk: int = 128
+    ) -> "GridMap":
+        """Attach a row-compacted range LUT (giant maps, e.g. Spielberg).
+
+        Cells with clearance >= max_range share one constant far row
+        (exact — such a cell reads max_range in every direction); the rest
+        get real rows addressed via ``lut_row_map``. Built on device in
+        theta chunks so the transient slab stays ~1 GB.
+        """
+        import dataclasses
+
+        from monte_carlo_localization_tpu.mapping.range_lut_device import (
+            build_compact_range_lut_jax,
+        )
+
+        stride = row_stride or t_bins
+        if (
+            self.range_lut is not None
+            and self.lut_theta_bins == t_bins
+            and (self.lut_row_stride or t_bins) == stride
+            and self.lut_row_map is not None
+        ):
+            return self
+        if self.occupancy.ndim != 2:
+            raise ValueError("compact LUT supports single maps only")
+        # the stored clearance field is clipped at max_range_px + 1, which
+        # saturates the far-row margin test — recompute with headroom
+        from monte_carlo_localization_tpu.mapping.range_lut_device import (
+            FAR_ROW_MARGIN,
+        )
+
+        clearance = clearance_field(
+            np.asarray(self.occupied),
+            self.max_range_px + FAR_ROW_MARGIN + 2,
+        )
+        lut, row_map = build_compact_range_lut_jax(
+            self.occupied,
+            clearance,
+            t_bins,
+            self.max_range_px,
+            stride,
+            chunk=chunk,
+        )
+        # keep the LUT 2-D: an eager reshape(-1) of a multi-GB tiled device
+        # array forces a full relayout copy (2x memory -> OOM); the query
+        # paths reshape to (-1, stride) which is an identity view here
+        return dataclasses.replace(
+            self,
+            range_lut=lut,
+            lut_row_map=jnp.asarray(row_map),
+            lut_theta_bins=t_bins,
+            lut_row_stride=stride if stride != t_bins else 0,
         )
 
     def with_padded_lut(self, row_stride: int) -> "GridMap":

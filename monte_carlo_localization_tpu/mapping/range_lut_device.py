@@ -159,3 +159,176 @@ def build_range_lut_jax(
 build_range_lut_jax_jit = jax.jit(
     build_range_lut_jax, static_argnums=(1, 2, 3)
 )
+
+
+# ---------------------------------------------------------------------------
+# Compacted builder for giant maps (Spielberg-scale).
+#
+# A cell whose clearance is >= max_range_px + margin sees max_range in EVERY
+# direction, so its LUT row is the constant [max_range_px] * stride — all
+# such cells share ONE row. Only cells within max_range of an obstacle (or
+# the map border, which also stops rays) get real rows, addressed through a
+# (H*W,) int32 row map. On Spielberg (2000x2000, 1080 beams) this turns a
+# 12.3 GB dense padded LUT into 9.6 GB of rows + a 16 MB row map, fitting
+# HBM; the build runs in theta-bin chunks so the transient dense slab stays
+# ~1 GB instead of 2x the full LUT.
+# ---------------------------------------------------------------------------
+
+# margin over max_range_px for the shared far row: +1 for the reference's
+# -1 px DDA bias, +1 for the shear-scan DP's <=0.5-cell lateral snap
+FAR_ROW_MARGIN = 2
+
+
+def compact_row_map(clearance: np.ndarray, max_range_px: int):
+    """(row_map (H*W,) int32, row_cells (K,) int64): row 0 is the shared
+    far row; cells with clearance < max_range_px + margin get rows 1..K."""
+    near = (
+        np.asarray(clearance).reshape(-1) < max_range_px + FAR_ROW_MARGIN
+    )
+    row_cells = np.nonzero(near)[0]
+    row_map = np.zeros(near.shape[0], np.int32)
+    row_map[row_cells] = np.arange(1, len(row_cells) + 1, dtype=np.int32)
+    return row_map, row_cells
+
+
+SPAN = 512  # physical-bin span per write: one (4, 128) u8 DMA block column
+
+
+def build_compact_range_lut_jax(
+    occupied,
+    clearance,
+    t_bins: int,
+    max_range_px: int,
+    row_stride: int,
+    chunk: int = 0,  # kept for API compat; spans are fixed at SPAN bins
+):
+    """Compacted range LUT + (H*W,) int32 row map, built on device.
+
+    Returns (lut (K+1, stride//512, 4, 128) jnp.uint8, row_map np.int32).
+
+    The output uses the Pallas kernel's native 512-byte-block layout
+    directly: dims 2-3 are exactly one u8 packing tile, so downstream
+    ``reshape(-1, 4, 128)`` (kernel) and ``reshape(-1, stride)`` (XLA
+    gather paths, in-jit) are free dimension merges — an eagerly-reshaped
+    2-D tiled buffer forced a full multi-GB relayout copy and OOM'd at
+    Spielberg scale.
+
+    Writes go span by span: each 512-aligned physical-bin span is
+    assembled in-jit from the (1-3) group arcs overlapping it, the compact
+    rows are gathered, the constant far row prepended, and the result
+    written with ``dynamic_update_slice`` on the donated buffer (in-place;
+    a column scatter forced a whole-buffer copy per chunk). Chunks are
+    serialized — async dispatch would keep every span's ~2 GB of sweep
+    transients live at once.
+    """
+    del chunk
+    occupied = jnp.asarray(occupied, jnp.bool_)
+    h, w = occupied.shape
+    if row_stride % SPAN != 0:
+        raise ValueError(f"row_stride must be a multiple of {SPAN}")
+    row_map, row_cells = compact_row_map(clearance, max_range_px)
+    k_rows = len(row_cells)
+    groups, c, s = (
+        _group_bins_padded(t_bins, row_stride)
+        if row_stride != t_bins
+        else _group_bins(t_bins)
+    )
+
+    out = jnp.full(
+        (k_rows + 1, row_stride // SPAN, 4, 128), max_range_px, jnp.uint8
+    )
+    cells_j = jnp.asarray(row_cells, jnp.int32)
+
+    @partial(jax.jit, static_argnums=(3, 4, 5))
+    def sweep_flat(occ_p, rel, step_len, forward, maxr, rm):
+        """Sweep one piece and return it cell-major: (H*W, bc)."""
+        part = _sweep_group(occ_p, rel, step_len, forward, maxr)
+        return (
+            jnp.transpose(part, (0, 2, 1))
+            if rm
+            else jnp.transpose(part, (2, 0, 1))
+        ).reshape(h * w, part.shape[1])
+
+    # physical bin -> (group key, position inside that group's idx array)
+    owner = {}
+    for key, idx in groups.items():
+        for pos, b in enumerate(idx):
+            owner[int(b)] = (key, pos)
+
+    # precompute per-group host metadata
+    meta = {}
+    for key, idx in groups.items():
+        rm, d = key
+        denom = np.abs(s[idx]) if rm else np.abs(c[idx])
+        delta = (c[idx] if rm else s[idx]) / denom
+        step_len_g = (1.0 / denom).astype(np.float32)
+        p_len = h if rm else w
+        p = np.arange(p_len)
+        shift = np.rint(delta[None, :] * d * p[:, None])
+        shift_n = np.rint(delta[None, :] * d * (p[:, None] + d))
+        meta[key] = ((shift_n - shift).astype(np.int8), step_len_g)
+
+    # rows are written in chunks so each write's gather/relayout temps stay
+    # a few hundred MB next to the multi-GB donated buffer; LUT row 0 (the
+    # constant far row) is never written — the buffer is initialized to
+    # max_range_px
+    row_chunk = 1 << 20
+    writers: dict[tuple, object] = {}
+
+    def writer(sig):
+        """sig: (n_pieces, rows_this_chunk) for one 512-bin span write."""
+        if sig not in writers:
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def _write(buf, flats, cells_slice, span_idx, r0):
+                cols = [f[cells_slice] for f in flats]
+                vals = cols[0] if len(cols) == 1 else jnp.concatenate(cols, 1)
+                vals = vals.reshape(vals.shape[0], 1, 4, 128)
+                return jax.lax.dynamic_update_slice(
+                    buf, vals, (r0, span_idx, 0, 0)
+                )
+
+            writers[sig] = _write
+        return writers[sig]
+
+    for c0 in range(0, row_stride, SPAN):
+        # split this span into runs owned by one group each
+        pieces = []  # (key, group positions) per contiguous piece
+        b = c0
+        while b < c0 + SPAN:
+            key, pos = owner[b]
+            ln = 1
+            while (
+                b + ln < c0 + SPAN
+                and owner[b + ln][0] == key
+                and owner[b + ln][1] == pos + ln
+            ):
+                ln += 1
+            pieces.append((key, pos, ln))
+            b += ln
+        flats = []
+        for key, pos, ln in pieces:
+            rm, d = key
+            rel_g, step_len_g = meta[key]
+            sel = np.arange(pos, pos + ln)
+            occ_p = occupied if rm else occupied.T
+            flats.append(
+                sweep_flat(
+                    occ_p,
+                    jnp.asarray(rel_g[:, sel]),
+                    jnp.asarray(step_len_g[sel]),
+                    d < 0,
+                    max_range_px,
+                    rm,
+                )
+            )
+        span_idx = jnp.int32(c0 // SPAN)
+        for r0 in range(0, k_rows, row_chunk):
+            rc = min(row_chunk, k_rows - r0)
+            out = writer((len(flats), rc))(
+                out, flats, cells_j[r0 : r0 + rc], span_idx, jnp.int32(r0 + 1)
+            )
+        # serialize spans: async dispatch would keep every span's ~2 GB
+        # sweep slab live at once next to the multi-GB buffer
+        jax.block_until_ready(out)
+    return out, row_map

@@ -294,11 +294,13 @@ def build_lut_query_fn(
     masks_const = masks_np
     obs_layout_flat = obs_layout.reshape(-1)
 
-    def query(lut_flat, particles, obs_px):
+    def query(lut_flat, particles, obs_px, row_map=None):
         gx = ((particles[:, 0] - origin_x) / resolution).astype(jnp.int32)
         gy = ((particles[:, 1] - origin_y) / resolution).astype(jnp.int32)
         oob = (gx < 0) | (gx >= width) | (gy < 0) | (gy >= height)
         cell = jnp.clip(gy, 0, height - 1) * width + jnp.clip(gx, 0, width - 1)
+        if row_map is not None:  # compacted LUT: cell -> LUT row indirection
+            cell = row_map[cell]
         b0 = jnp.round(particles[:, 2] * (t / (2.0 * math.pi))).astype(jnp.int32)
         b0 = jax.lax.rem(b0 + base, t)
         b0 = jnp.where(b0 < 0, b0 + t, b0)

@@ -176,6 +176,8 @@ def cast_rays_lut(grid_map: GridMap, queries: jnp.ndarray) -> jnp.ndarray:
     b = jnp.round(ang * (t / (2.0 * jnp.pi))).astype(jnp.int32) % t
     b = jnp.where(b < 0, b + t, b)
     cell = jnp.clip(gy, 0, h - 1) * w + jnp.clip(gx, 0, w - 1)
+    if grid_map.lut_row_map is not None:  # compacted LUT (giant maps)
+        cell = grid_map.lut_row_map[cell]
     row_stride = grid_map.lut_row_stride or t
     # 2-D (cell, bin) indexing: each index stays < 2^31 even for maps where
     # the flat cell*stride+bin product would overflow int32 (Spielberg-scale)
@@ -208,6 +210,8 @@ def lut_expected_px(
     )
     oob = (gx < 0) | (gx >= w) | (gy < 0) | (gy >= h)
     cell = jnp.clip(gy, 0, h - 1) * w + jnp.clip(gx, 0, w - 1)
+    if grid_map.lut_row_map is not None:  # compacted LUT (giant maps)
+        cell = grid_map.lut_row_map[cell]
     ang = particles[:, 2:3] + beam_angles[None, :]
     b = jnp.round(ang * (t / (2.0 * jnp.pi))).astype(jnp.int32) % t
     b = jnp.where(b < 0, b + t, b)

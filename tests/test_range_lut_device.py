@@ -39,3 +39,50 @@ def test_device_builder_axis_aligned_truth():
     assert abs(int(lut[50, 10, 0]) - 187) <= 2
     # and ~8 px to the left (wall at col 2)
     assert abs(int(lut[50, 10, 2]) - 7) <= 2
+
+
+def test_compact_builder_matches_dense():
+    """Row-compacted LUT (giant-map path) must reconstruct the dense LUT
+    exactly, including the shared constant far row."""
+    from monte_carlo_localization_tpu.mapping import random_obstacle_world
+    from monte_carlo_localization_tpu.mapping.edt import clearance_field
+    from monte_carlo_localization_tpu.mapping.range_lut_device import (
+        build_compact_range_lut_jax,
+        build_range_lut_jax,
+    )
+
+    gm = random_obstacle_world(height=96, width=128, num_obstacles=4, seed=5)
+    occ = np.asarray(gm.occupied)
+    t_bins, stride, mrp = 90, 1024, 18
+    clr = clearance_field(occ, mrp + 4)
+    dense = np.asarray(build_range_lut_jax(occ, t_bins, mrp, stride)).reshape(
+        -1, stride
+    )
+    lut, row_map = build_compact_range_lut_jax(occ, clr, t_bins, mrp, stride)
+    lut = np.asarray(lut)
+    assert lut.shape[-2:] == (4, 128)
+    assert (row_map > 0).mean() < 1.0, "case must have far cells"
+    recon = lut.reshape(lut.shape[0], -1)[row_map]
+    np.testing.assert_array_equal(recon, dense)
+
+
+def test_compact_filter_path(clutter_map, beams60, make_scan, monkeypatch):
+    """Force the compact path in ParticleFilter (tiny MCL_LUT_DENSE_MAX)
+    and check the filter still localizes."""
+    from monte_carlo_localization_tpu.config import MCLConfig
+    from monte_carlo_localization_tpu.filter import ParticleFilter
+
+    monkeypatch.setenv("MCL_LUT_DENSE_MAX", "1")
+    pf = ParticleFilter(
+        clutter_map,
+        MCLConfig(max_particles=512, raycast_method="lut_pallas"),
+    )
+    pf.set_beam_angles(beams60)
+    assert pf.grid_map.lut_row_map is not None
+    pose = np.array([10.0, 10.0, 0.5], np.float32)
+    scan = make_scan(clutter_map, pose, beams60)
+    state = pf.init_pose(pose, seed=0)
+    for _ in range(5):
+        state, est = pf.step(state, np.zeros(3, np.float32), scan)
+    err = np.linalg.norm(np.asarray(est)[:2] - pose[:2])
+    assert err < 0.2, err
