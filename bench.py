@@ -205,7 +205,7 @@ CONFIGS = {
             method="lut_pallas", chain=10,
             note="config#4: basement_fixed, 100k-particle global localization"),
     5: dict(kind="fleet", fleet=64, particles=4000, beams=60,
-            method="lut",  # vmapped fleets use the XLA LUT path
+            method="lut_pallas",  # flattened-fleet fused kernel fast path
             note="config#5: 64-car fleet x 4000 particles, sibal1"),
 }
 

@@ -168,6 +168,60 @@ def mcl_step(
     return new_state, pose
 
 
+def build_pallas_likelihood(
+    grid_map: GridMap,
+    beam_angles: np.ndarray,
+    cfg: MCLConfig,
+    num_particles: int,
+    num_members: int = 1,
+):
+    """Attach the kernel-ready range LUT to the map and build the fused
+    Pallas query. Returns (grid_map_with_lut, query).
+
+    The padded layout is built directly inside the LUT sweep (one program)
+    — a separate pad/gather pass cold-compiles pathologically slowly on
+    the remote-compile TPU backend. Giant maps (estimated dense LUT >
+    MCL_LUT_DENSE_MAX, default 2 GiB) use the row-compacted LUT: cells
+    beyond max_range share one constant far row via a per-cell row map.
+    """
+    from monte_carlo_localization_tpu.ops.pallas_lut import (
+        build_lut_query_fn,
+        required_row_stride,
+        suggest_theta_bins,
+    )
+
+    beams_np = np.asarray(beam_angles)
+    t = suggest_theta_bins(beams_np)
+    stride = required_row_stride(t, beams_np)
+    dense_bytes = grid_map.height * grid_map.width * stride
+    max_dense = int(os.environ.get("MCL_LUT_DENSE_MAX", 2 << 30))
+    if dense_bytes > max_dense:
+        grid_map = grid_map.with_compact_range_lut(t, stride)
+    else:
+        grid_map = grid_map.with_range_lut(t, row_stride=stride)
+    query, _ = build_lut_query_fn(
+        grid_map.lut_theta_bins,
+        beams_np,
+        num_particles,
+        height=grid_map.height,
+        width=grid_map.width,
+        resolution=grid_map.resolution,
+        origin_x=float(grid_map.origin_x),
+        origin_y=float(grid_map.origin_y),
+        max_range_px=grid_map.max_range_px,
+        row_stride=stride,
+        z_hit=cfg.z_hit,
+        z_short=cfg.z_short,
+        z_max=cfg.z_max,
+        z_rand=cfg.z_rand,
+        sigma_hit=cfg.sigma_hit,
+        inv_squash=cfg.inv_squash_factor,
+        interpret=jax.default_backend() == "cpu",
+        num_members=num_members,
+    )
+    return grid_map, query
+
+
 class ParticleFilter:
     """High-level single-filter facade: owns map, config, sensor model and
     the jitted step. The host-side analogue of the reference node's MCL
@@ -219,47 +273,8 @@ class ParticleFilter:
         cfg = self.config
         likelihood_fn = None
         if cfg.raycast_method == "lut_pallas" and self.beam_angles is not None:
-            from monte_carlo_localization_tpu.ops.pallas_lut import (
-                build_lut_query_fn,
-                required_row_stride,
-                suggest_theta_bins,
-            )
-
-            beams_np = np.asarray(self.beam_angles)
-            t = suggest_theta_bins(beams_np)
-            stride = required_row_stride(t, beams_np)
-            # padded layout built directly inside the LUT sweep (one
-            # program) — a separate pad/gather pass cold-compiles
-            # pathologically slowly on the remote-compile TPU backend
-            gm0 = self.grid_map
-            dense_bytes = gm0.height * gm0.width * stride
-            max_dense = int(os.environ.get("MCL_LUT_DENSE_MAX", 2 << 30))
-            if dense_bytes > max_dense:
-                # giant map (Spielberg-scale): row-compacted LUT — cells
-                # beyond max_range share one constant far row, addressed
-                # through a per-cell row map
-                self.grid_map = gm0.with_compact_range_lut(t, stride)
-            else:
-                self.grid_map = gm0.with_range_lut(t, row_stride=stride)
-            gm = self.grid_map
-            query, _ = build_lut_query_fn(
-                gm.lut_theta_bins,
-                beams_np,
-                cfg.max_particles,
-                height=gm.height,
-                width=gm.width,
-                resolution=gm.resolution,
-                origin_x=float(gm.origin_x),
-                origin_y=float(gm.origin_y),
-                max_range_px=gm.max_range_px,
-                row_stride=stride,
-                z_hit=cfg.z_hit,
-                z_short=cfg.z_short,
-                z_max=cfg.z_max,
-                z_rand=cfg.z_rand,
-                sigma_hit=cfg.sigma_hit,
-                inv_squash=cfg.inv_squash_factor,
-                interpret=jax.default_backend() == "cpu",
+            self.grid_map, query = build_pallas_likelihood(
+                self.grid_map, self.beam_angles, cfg, cfg.max_particles
             )
             sensor = self.sensor
             self._pallas_query = query  # exposed for tests/diagnostics

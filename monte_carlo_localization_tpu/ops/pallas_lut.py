@@ -135,13 +135,19 @@ def build_lut_query_fn(
     inv_squash: float,
     block: int = 16,
     interpret: bool = False,
+    num_members: int = 1,
 ):
     """Returns (query, info): query(lut_flat_u8, particles, obs_px) -> (N,)
     log weights.
 
     lut_flat_u8: flattened LUT with rows padded to ``row_stride`` entries
-    (GridMap.with_padded_lut(required_row_stride(...))).
+    (GridMap.with_range_lut(..., row_stride=...)).
     particles: (N, 3) float32. obs_px: (R,) observed ranges in px.
+
+    With ``num_members`` = F > 1 (fleet mode) the N particles are F
+    contiguous groups of N/F, ``obs_px`` is (F, R) — one scan per fleet
+    member — and each particle block reads its member's scan (the block
+    size must divide the per-member particle count).
     """
     r = len(beam_angles)
     base, k, e = beam_geometry(beam_angles, t_bins)
@@ -168,6 +174,12 @@ def build_lut_query_fn(
     n = num_particles
     if n % block != 0:
         raise ValueError(f"num_particles {n} must divide by block {block}")
+    if n % num_members != 0 or (n // num_members) % block != 0:
+        raise ValueError(
+            f"per-member particle count ({n}/{num_members}) must divide by "
+            f"block {block}"
+        )
+    blocks_per_member = (n // num_members) // block
     s_sub = wbytes // LANE  # sublanes of the (s_sub, 128) window view
     y_rows = wbytes // SUB  # (4, 128) u8 subrows per DMA
 
@@ -266,7 +278,7 @@ def build_lut_query_fn(
         in_specs=[
             pl.BlockSpec(
                 (1, s_sub, LANE),
-                lambda i, *_: (0, 0, 0),
+                lambda i, *_: (i // blocks_per_member, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -313,9 +325,14 @@ def build_lut_query_fn(
 
         # observed px spread to the rotated-window lane layout (tiny gather)
         obs_clip = jnp.minimum(obs_px, m)
-        obs_lanes = obs_clip[jnp.asarray(obs_layout_flat)].reshape(
-            1, s_sub, LANE
-        )
+        if num_members > 1:
+            obs_lanes = obs_clip[:, jnp.asarray(obs_layout_flat)].reshape(
+                num_members, s_sub, LANE
+            )
+        else:
+            obs_lanes = obs_clip[jnp.asarray(obs_layout_flat)].reshape(
+                1, s_sub, LANE
+            )
 
         lut3 = lut_flat.reshape(-1, 4, LANE)
         logw = call(y0, rem, obs_lanes, jnp.asarray(masks_const), lut3)[:, 0]

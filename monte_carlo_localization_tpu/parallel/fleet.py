@@ -31,16 +31,18 @@ from monte_carlo_localization_tpu.mapping.grid_map import GridMap, OCC_OCCUPIED
 from monte_carlo_localization_tpu.models.sensor import SensorModel
 
 
-def _validate_parallel_config(cfg: MCLConfig, who: str) -> None:
+def _validate_parallel_config(
+    cfg: MCLConfig, who: str, allow_pallas: bool = False
+) -> None:
     """Fail fast at construction, not at jit-trace time, on config values
     the batched/sharded filters can't serve (mirrors ParticleFilter's own
     validation)."""
-    if cfg.raycast_method == "lut_pallas":
+    if cfg.raycast_method == "lut_pallas" and not allow_pallas:
         raise ValueError(
-            f"{who} does not support raycast_method='lut_pallas' yet — the "
-            "fused Pallas kernel is single-filter; use 'lut'"
+            f"{who} supports raycast_method='lut_pallas' only for a "
+            "single-device fleet on one shared map; use 'lut'"
         )
-    if cfg.raycast_method not in ("sphere", "dda", "lut"):
+    if cfg.raycast_method not in ("sphere", "dda", "lut", "lut_pallas"):
         raise ValueError(f"Unknown raycast method: {cfg.raycast_method!r}")
     if cfg.resample_method not in ("systematic", "multinomial"):
         raise ValueError(f"Unknown resample method: {cfg.resample_method!r}")
@@ -150,7 +152,17 @@ class FleetFilter:
         (the pjit path; the explicit-collectives path is
         ShardedParticleFilter)."""
         self.config = config or MCLConfig()
-        _validate_parallel_config(self.config, "FleetFilter")
+        # the fused Pallas kernel can serve a whole single-device fleet on
+        # one shared map: the fleet flattens to one big particle batch
+        # with per-member scans (obs blocks indexed by member)
+        pallas_ok = (
+            self.config.raycast_method == "lut_pallas"
+            and mesh is None
+            and not is_batched_map(grid_map)
+        )
+        _validate_parallel_config(
+            self.config, "FleetFilter", allow_pallas=pallas_ok
+        )
         self.map = grid_map
         self.fleet_size = fleet_size
         self.sensor = SensorModel.create(
@@ -168,8 +180,21 @@ class FleetFilter:
         )
         self.mesh = mesh
         self.fleet_axis = fleet_axis
+        self.particle_axis = particle_axis
+        self._pallas = pallas_ok
+        self._build_step()
 
+    def _build_step(self) -> None:
+        grid_map = self.map
+        mesh = self.mesh
+        fleet_axis = self.fleet_axis
+        particle_axis = self.particle_axis
         cfg = self.config
+
+        if self._pallas and self.beam_angles is not None:
+            self._build_pallas_step()
+            return
+
         if cfg.raycast_method == "lut":
             grid_map = grid_map.with_range_lut(cfg.lut_theta_bins)
             self.map = grid_map
@@ -200,7 +225,6 @@ class FleetFilter:
             )(state.particles, state.log_weights, state.keys, actions, scans, gmap)
             return FleetState(particles=p, log_weights=lw, keys=keys), poses
 
-        self.particle_axis = particle_axis
         if mesh is not None:
             fs = NamedSharding(mesh, P(fleet_axis))
             pspec = (
@@ -224,8 +248,80 @@ class FleetFilter:
         else:
             self._step = jax.jit(fleet_step, donate_argnums=(0,))
 
+    def _build_pallas_step(self) -> None:
+        """Single-device shared-map fast path: ONE fused Pallas likelihood
+        over the flattened (F*N, 3) fleet with per-member scans; resample/
+        motion/pose stay per-member via vmap. The whole fleet correction
+        is one kernel launch instead of F vmapped gather chains."""
+        from monte_carlo_localization_tpu.filter.core import (
+            build_pallas_likelihood,
+        )
+        from monte_carlo_localization_tpu.models.motion import motion_model
+        from monte_carlo_localization_tpu.ops.resample import resample_indices
+
+        cfg = self.config
+        f = self.fleet_size
+        n = cfg.max_particles
+        # the kernel's scalar-prefetch arrays (y0, rem: int32 per particle)
+        # live in SMEM (1 MB): cap one kernel call at ~64k particles and
+        # loop over member chunks inside the jitted step
+        mpc = f
+        while mpc > 1 and mpc * n > 64_000:
+            # largest divisor of f with mpc*n under the SMEM budget
+            for d in range(mpc - 1, 0, -1):
+                if f % d == 0:
+                    mpc = d
+                    break
+        self._members_per_call = mpc
+        self.map, query = build_pallas_likelihood(
+            self.map, np.asarray(self.beam_angles), cfg, mpc * n,
+            num_members=mpc,
+        )
+
+        def fleet_step(state: FleetState, actions, scans, beams, gmap, sensor):
+            del beams  # geometry is baked into the kernel
+
+            def propose(particles, logw, key, action):
+                key, kr, km = jax.random.split(key, 3)
+                idx = resample_indices(kr, logw, method=cfg.resample_method)
+                prop = motion_model(
+                    km,
+                    particles[idx],
+                    action,
+                    dispersion_x=cfg.motion_dispersion_x,
+                    dispersion_y=cfg.motion_dispersion_y,
+                    dispersion_theta=cfg.motion_dispersion_theta,
+                    exact_dt_heuristic=cfg.exact_dt_heuristic,
+                )
+                return prop, key
+
+            prop, keys = jax.vmap(propose)(
+                state.particles, state.log_weights, state.keys, actions
+            )
+            obs_px = sensor.to_pixel_index(scans).astype(jnp.float32)  # (F, R)
+            parts = []
+            for c0 in range(0, f, mpc):
+                parts.append(
+                    query(
+                        gmap.range_lut,
+                        prop[c0 : c0 + mpc].reshape(mpc * n, 3),
+                        obs_px[c0 : c0 + mpc],
+                        row_map=gmap.lut_row_map,
+                    )
+                )
+            logw = jnp.concatenate(parts).reshape(f, n)
+            logw = logw - jax.lax.stop_gradient(
+                jnp.max(logw, axis=1, keepdims=True)
+            )
+            poses = jax.vmap(expected_pose)(prop, logw)
+            return FleetState(particles=prop, log_weights=logw, keys=keys), poses
+
+        self._step = jax.jit(fleet_step, donate_argnums=(0,))
+
     def set_beam_angles(self, beam_angles: np.ndarray) -> None:
         self.beam_angles = jnp.asarray(beam_angles, dtype=jnp.float32)
+        if self._pallas:
+            self._build_step()
 
     def _place(self, state: FleetState) -> FleetState:
         if self.mesh is None:

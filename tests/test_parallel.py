@@ -196,10 +196,67 @@ class TestShardedLut:
                 MCLConfig(max_particles=800, raycast_method="lut_pallas"),
                 beam_angles=beams60,
             )
+        # FleetFilter allows lut_pallas only single-device on a shared map;
+        # with a mesh it must reject up front
+        mesh1 = Mesh(np.array(jax.devices()[:1]), ("fleet",))
         with pytest.raises(ValueError, match="lut_pallas"):
             FleetFilter(
                 clutter_map,
                 fleet_size=2,
                 config=MCLConfig(max_particles=64, raycast_method="lut_pallas"),
                 beam_angles=beams60,
+                mesh=mesh1,
             )
+
+
+class TestFleetPallas:
+    def test_fleet_pallas_localizes_per_member_scans(
+        self, clutter_map, beams60, make_scan
+    ):
+        """Single-device shared-map fleet on the fused Pallas kernel:
+        members with DIFFERENT true poses (distinct scans) must each
+        converge to their own pose."""
+        f, n = 2, 256
+        poses_true = np.array(
+            [[10.0, 10.0, 0.5], [6.0, 14.0, -1.0]], np.float32
+        )
+        scans = np.stack(
+            [make_scan(clutter_map, p, beams60) for p in poses_true]
+        )
+        ff = FleetFilter(
+            clutter_map,
+            fleet_size=f,
+            config=MCLConfig(max_particles=n, raycast_method="lut_pallas"),
+            beam_angles=beams60,
+        )
+        assert ff._pallas
+        state = ff.init_pose(poses_true, seed=1)
+        actions = np.zeros((f, 3), np.float32)
+        for _ in range(6):
+            state, est = ff.step(state, actions, scans)
+        est = np.asarray(est)
+        for i in range(f):
+            err = np.linalg.norm(est[i, :2] - poses_true[i, :2])
+            assert err < 0.25, (i, err, est[i], poses_true[i])
+
+    def test_fleet_pallas_matches_lut_fleet(self, clutter_map, beams60,
+                                            make_scan):
+        """Pose estimates from the Pallas fleet track the XLA lut fleet."""
+        f, n = 2, 256
+        pose = np.array([10.0, 10.0, 0.5], np.float32)
+        scans = np.tile(make_scan(clutter_map, pose, beams60), (f, 1))
+        actions = np.zeros((f, 3), np.float32)
+
+        outs = []
+        for method in ("lut_pallas", "lut"):
+            ff = FleetFilter(
+                clutter_map,
+                fleet_size=f,
+                config=MCLConfig(max_particles=n, raycast_method=method),
+                beam_angles=beams60,
+            )
+            state = ff.init_pose(np.tile(pose, (f, 1)), seed=3)
+            for _ in range(4):
+                state, est = ff.step(state, actions, scans)
+            outs.append(np.asarray(est))
+        assert np.linalg.norm(outs[0][:, :2] - outs[1][:, :2], axis=1).max() < 0.2
