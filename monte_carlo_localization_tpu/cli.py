@@ -98,6 +98,10 @@ def cmd_replay(args) -> int:
     node = MCLNode(gm, cfg, log=log)
     if args.record_out:
         node.add_sink(_make_sink(args.record_out))
+    if args.viz_out:
+        from monte_carlo_localization_tpu.runtime import VizSink
+
+        node.add_sink(VizSink(gm, args.viz_out, every=args.viz_every))
     if args.init == "truth" and trace.truth_pose is not None:
         node.initialize_pose(trace.truth_pose[0])
     elif args.init == "global":
@@ -285,6 +289,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--resample", choices=["systematic", "multinomial"], default=None
     )
     rp.add_argument("--init", choices=["truth", "global"], default="truth")
+    rp.add_argument("--viz-out", default=None, dest="viz_out",
+                    help="directory for rendered PNG frames (RViz analogue)")
+    rp.add_argument("--viz-every", type=int, default=10, dest="viz_every",
+                    help="render every Nth correction (default 10)")
     rp.add_argument("--record-out", default=None, dest="record_out",
                     help="stream outputs to a .jsonl or .npz sink")
     rp.add_argument("-v", "--verbose", action="store_true")

@@ -88,6 +88,20 @@ class MCLConfig:
     dtype: str = "float32"
     seed: int = 0
 
+    # --- automatic re-localization (new; the reference's README describes
+    # convergence-based auto-init aspirationally but ships no detector —
+    # kidnapped-robot recovery there is human-triggered via /clicked_point).
+    # Augmented-MCL style monitor (Probabilistic Robotics §8.3): short- and
+    # long-horizon EMAs of the per-correction measurement quality; a
+    # sustained collapse of fast/slow triggers a global re-init. ---
+    auto_reinit: bool = False
+    reinit_alpha_slow: float = 0.05  # long-horizon EMA rate (w_slow)
+    reinit_alpha_fast: float = 0.40  # short-horizon EMA rate (w_fast)
+    reinit_ratio_threshold: float = 0.25  # trigger when w_fast/w_slow stays below
+    reinit_patience: int = 10  # consecutive bad corrections before re-init
+    reinit_min_iters: int = 30  # corrections before the monitor arms
+    reinit_cooldown: int = 50  # corrections to hold off after a re-init
+
     # --- map (from the map_server section / launch arg) ---
     map_name: str = "sibal1"
     map_dir: str = ""

@@ -45,6 +45,13 @@ class MCLState:
     particles: jnp.ndarray  # (N, 3) [x, y, theta]
     log_weights: jnp.ndarray  # (N,) unnormalized logits
     key: jax.Array  # PRNG key threaded through steps
+    # log mean measurement likelihood of the latest correction, captured
+    # BEFORE the max-shift normalization below (the shifted log_weights
+    # only measure concentration relative to the best particle). This is
+    # the w_avg signal of Augmented MCL; 0 until the first correction.
+    log_quality: jnp.ndarray = field(
+        default_factory=lambda: jnp.float32(0.0)
+    )
 
     @property
     def num_particles(self) -> int:
@@ -160,10 +167,16 @@ def mcl_step(
             sphere_march_iters=sphere_march_iters,
             sensor_mode=sensor_mode,
         )
+    # absolute quality before the shift: log(mean_i w_i) — the Augmented-
+    # MCL w_avg in log space (linear space underflows at 1080 beams)
+    log_quality = jax.nn.logsumexp(log_w) - jnp.log(log_w.shape[0] * 1.0)
     # normalize in log space (softmax downstream); subtract max for stability
     log_w = log_w - jax.lax.stop_gradient(jnp.max(log_w))
 
-    new_state = MCLState(particles=proposal, log_weights=log_w, key=key)
+    new_state = MCLState(
+        particles=proposal, log_weights=log_w, key=key,
+        log_quality=log_quality.astype(jnp.float32),
+    )
     pose = expected_pose(proposal, log_w)
     return new_state, pose
 
@@ -348,6 +361,16 @@ class ParticleFilter:
             self.grid_map,
             self.sensor,
         )
+
+    def log_quality(self, state: MCLState) -> float:
+        """log mean (squashed) measurement likelihood of the latest
+        correction — the ``w_avg`` signal of Augmented MCL (Probabilistic
+        Robotics §8.3), captured inside ``mcl_step`` before the max-shift
+        weight normalization (the shifted ``log_weights`` only measure
+        concentration relative to the best particle, which RISES when every
+        particle is equally wrong). Used by the runtime's auto
+        re-localization monitor."""
+        return float(state.log_quality)
 
     def step_many(
         self, state: MCLState, actions, observed_m

@@ -8,6 +8,7 @@ from monte_carlo_localization_tpu.runtime.sinks import (
     Sink,
 )
 from monte_carlo_localization_tpu.runtime.tracker import OdometryTracker
+from monte_carlo_localization_tpu.runtime.viz import VizSink, map_image, render_frame
 from monte_carlo_localization_tpu.runtime.trace import (
     HostRaycaster,
     Trace,
@@ -24,6 +25,9 @@ __all__ = [
     "CallbackSink",
     "JsonlSink",
     "NpzSink",
+    "VizSink",
+    "map_image",
+    "render_frame",
     "Trace",
     "TraceReader",
     "TraceWriter",

@@ -38,6 +38,7 @@ def save_state(
         particles=np.asarray(state.particles),
         log_weights=np.asarray(state.log_weights),
         key_data=np.asarray(jax.random.key_data(state.key)),
+        log_quality=np.asarray(state.log_quality),
         iters=np.asarray(iters),
     )
     if inferred_pose is not None:
@@ -78,6 +79,11 @@ def load_state(path: str | Path, tracker=None):
         particles=jnp.asarray(z["particles"]),
         log_weights=jnp.asarray(z["log_weights"]),
         key=key,
+        log_quality=(
+            jnp.asarray(z["log_quality"], dtype=jnp.float32)
+            if "log_quality" in z
+            else jnp.float32(0.0)
+        ),
     )
     meta = {"iters": int(z["iters"])}
     if "inferred_pose" in z:

@@ -89,6 +89,16 @@ class MCLNode:
         self._last_update_time: float | None = None
         self._avg_mcl_ms_window: list[float] = []
 
+        # Augmented-MCL auto re-localization monitor (config.auto_reinit).
+        # The reference has no detector — kidnapped-robot recovery there is
+        # human-triggered via /clicked_point (reference :376-379); its README
+        # describes convergence-based auto-init aspirationally only.
+        self._q_slow: float | None = None
+        self._q_fast: float | None = None
+        self._bad_count = 0
+        self._reinit_holdoff = 0
+        self.auto_reinits = 0
+
         # global init at startup, like the reference constructor (:151-152)
         self.state = self.filter.init_global(
             self.config.seed if rng_seed is None else rng_seed
@@ -200,6 +210,11 @@ class MCLNode:
                 delay_compensation_factor=self.config.delay_compensation_factor,
             )
 
+        # after the anchor refresh so a triggered re-init (which deactivates
+        # the tracker) is not immediately re-anchored at the stale pose
+        if self.config.auto_reinit:
+            self._update_reinit_monitor(self.filter.log_quality(self.state))
+
         if self.iters % 100 == 0:
             self.log(
                 f"MCL iter {self.iters}: "
@@ -209,6 +224,41 @@ class MCLNode:
             self.stats.print_stats(self.log)
             self.stats.reset()
         return pose
+
+    # ----- auto re-localization (Augmented MCL w_fast/w_slow monitor) -----
+    def _update_reinit_monitor(self, q: float) -> None:
+        """Track short/long EMAs of the log measurement quality; a sustained
+        collapse of the fast average below ``reinit_ratio_threshold`` × the
+        slow average (compared in log space — the quantities underflow
+        linear space at 1080 beams) triggers a global re-initialization,
+        the automatic analogue of the reference's /clicked_point recovery."""
+        import math
+
+        cfg = self.config
+        if self._q_slow is None or self._q_fast is None:
+            self._q_slow = self._q_fast = q
+            return
+        self._q_fast += cfg.reinit_alpha_fast * (q - self._q_fast)
+        self._q_slow += cfg.reinit_alpha_slow * (q - self._q_slow)
+        if self._reinit_holdoff > 0:
+            self._reinit_holdoff -= 1
+            return
+        if self.iters < cfg.reinit_min_iters:
+            return
+        if self._q_fast < self._q_slow + math.log(cfg.reinit_ratio_threshold):
+            self._bad_count += 1
+        else:
+            self._bad_count = 0
+        if self._bad_count >= cfg.reinit_patience:
+            self.log(
+                "Auto re-localization: measurement quality collapsed "
+                f"(fast {self._q_fast:.1f} vs slow {self._q_slow:.1f} nats)"
+            )
+            self.auto_reinits += 1
+            self._bad_count = 0
+            self._reinit_holdoff = cfg.reinit_cooldown
+            self._q_slow = self._q_fast = None
+            self.initialize_global()
 
     # ----- sinks (the ROS-free publication surface, reference :857-983) -----
     def add_sink(self, sink: Sink) -> None:

@@ -138,4 +138,4 @@ def test_state_is_pytree():
         key=jax.random.key(0),
     )
     leaves = jtu.tree_leaves(s)
-    assert len(leaves) == 3
+    assert len(leaves) == 4  # particles, log_weights, key, log_quality
