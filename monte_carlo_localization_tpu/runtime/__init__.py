@@ -8,6 +8,7 @@ from monte_carlo_localization_tpu.runtime.sinks import (
     Sink,
 )
 from monte_carlo_localization_tpu.runtime.tracker import OdometryTracker
+from monte_carlo_localization_tpu.runtime.ros2_bridge import ROS2Bridge
 from monte_carlo_localization_tpu.runtime.viz import VizSink, map_image, render_frame
 from monte_carlo_localization_tpu.runtime.trace import (
     HostRaycaster,
@@ -26,6 +27,7 @@ __all__ = [
     "JsonlSink",
     "NpzSink",
     "VizSink",
+    "ROS2Bridge",
     "map_image",
     "render_frame",
     "Trace",
