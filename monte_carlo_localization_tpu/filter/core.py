@@ -203,6 +203,13 @@ def build_pallas_likelihood(
         suggest_theta_bins,
     )
 
+    if grid_map.max_range_px > 254:
+        raise ValueError(
+            "raycast_method='lut_pallas' requires max_range_px <= 254 (the "
+            "kernel's DMA layout packs u8 ranges); "
+            f"max_range_px={grid_map.max_range_px} — use "
+            "raycast_method='lut' (u16 LUT) instead"
+        )
     beams_np = np.asarray(beam_angles)
     t = suggest_theta_bins(beams_np)
     stride = required_row_stride(t, beams_np)

@@ -117,7 +117,15 @@ class GridMap:
         h, w = self.occupancy.shape[-2:]
         if h * w * stride > np.iinfo(np.int64).max // 4:
             raise ValueError("LUT too large")  # unreachable sanity bound
-        if backend in ("auto", "device") and (
+        # the on-device jax builder emits u8; long-range maps
+        # (max_range_px > 254) need the u16 host builder
+        device_ok = self.max_range_px <= 254
+        if not device_ok and backend == "device":
+            raise ValueError(
+                "device LUT builder is u8-only; max_range_px="
+                f"{self.max_range_px} > 254 needs backend='auto'/'native'"
+            )
+        if device_ok and backend in ("auto", "device") and (
             backend == "device" or jax.default_backend() != "cpu"
         ):
             # build ON the accelerator: only the occupancy grid crosses

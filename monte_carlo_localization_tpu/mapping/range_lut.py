@@ -34,13 +34,28 @@ import numpy as np
 DEFAULT_THETA_BINS = 1440  # 0.25 deg — matches a 1080-beam 270-deg lidar
 
 
+def lut_dtype(max_range_px: int) -> np.dtype:
+    """u8 up to 254 px (the common case, half the memory), u16 beyond —
+    long-range or fine-resolution maps. The XLA ``lut`` query path is
+    dtype-agnostic; the Pallas kernel requires u8 (its DMA window layout
+    packs 512 ranges per 512 B subrow)."""
+    if max_range_px <= 254:
+        return np.dtype(np.uint8)
+    if max_range_px <= 65534:
+        return np.dtype(np.uint16)
+    raise ValueError(
+        f"max_range_px={max_range_px} > 65534 — lower max_range or use a "
+        "coarser map"
+    )
+
+
 def build_range_lut_numpy(
     occupied: np.ndarray, t_bins: int, max_range_px: int
 ) -> np.ndarray:
     """Pure-numpy shear-scan DP (fallback + correctness oracle)."""
     occupied = occupied.astype(bool)
     h, w = occupied.shape
-    out = np.empty((h, w, t_bins), dtype=np.uint8)
+    out = np.empty((h, w, t_bins), dtype=lut_dtype(max_range_px))
     for t in range(t_bins):
         theta = 2.0 * np.pi * t / t_bins
         c, s = np.cos(theta), np.sin(theta)
@@ -67,8 +82,8 @@ def build_range_lut_numpy(
             dist[p] = d_cur
             d_prev = d_cur
         px = np.clip(dist * step_len - 1.0, 0.0, max_range_px)
-        px_u8 = (px + 0.5).astype(np.uint8)
-        out[:, :, t] = px_u8 if row_axis else px_u8.T
+        px_q = (px + 0.5).astype(out.dtype)
+        out[:, :, t] = px_q if row_axis else px_q.T
     return out
 
 
@@ -79,7 +94,8 @@ def build_range_lut(
     backend: str = "auto",
     row_stride: int = 0,
 ) -> np.ndarray:
-    """(H, W, T) uint8 range-in-px LUT. backend: auto | native | numpy.
+    """(H, W, T) range-in-px LUT — u8, or u16 when max_range_px > 254.
+    backend: auto | native | numpy.
 
     With ``row_stride > t_bins`` the last axis is padded to ``row_stride``
     with angle-wraparound content (entry b = bin b % T) for the Pallas
@@ -87,13 +103,9 @@ def build_range_lut(
     no single flat index needs to fit int32; the total size is bounded
     only by memory.
     """
-    if max_range_px > 254:
-        raise ValueError(
-            f"range LUT stores u8 px; max_range_px={max_range_px} > 254 "
-            "(lower max_range or use a coarser map)"
-        )
+    dtype = lut_dtype(max_range_px)
     h, w = occupied.shape
-    nbytes = h * w * (row_stride or t_bins)
+    nbytes = h * w * (row_stride or t_bins) * dtype.itemsize
     max_bytes = int(os.environ.get("MCL_LUT_MAX_BYTES", 16 << 30))
     if nbytes > max_bytes:
         raise ValueError(
@@ -107,7 +119,9 @@ def build_range_lut(
         try:
             from monte_carlo_localization_tpu.native import native_build_range_lut
 
-            lut = native_build_range_lut(occupied, t_bins, max_range_px)
+            lut = native_build_range_lut(
+                occupied, t_bins, max_range_px, dtype=dtype
+            )
         except Exception:
             if backend == "native":
                 raise
@@ -128,7 +142,11 @@ def _cache_key(
 ) -> str:
     hsh = hashlib.sha256()
     hsh.update(np.ascontiguousarray(occupied.astype(np.uint8)).tobytes())
-    hsh.update(f"{t_bins}|{max_range_px}|{row_stride or t_bins}|v3".encode())
+    # dtype tag only for u16 so existing u8 cache entries stay valid
+    tag = "|u16" if lut_dtype(max_range_px).itemsize == 2 else ""
+    hsh.update(
+        f"{t_bins}|{max_range_px}|{row_stride or t_bins}|v3{tag}".encode()
+    )
     return hsh.hexdigest()[:24]
 
 

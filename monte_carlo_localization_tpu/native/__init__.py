@@ -84,8 +84,16 @@ def _build_and_load() -> ctypes.CDLL | None:
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint8),
             ]
+            lib.mcl_build_range_lut_u16.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint16),
+            ]
             lib.mcl_native_version.restype = ctypes.c_int
-            assert lib.mcl_native_version() == 2
+            assert lib.mcl_native_version() == 3
             _LIB = lib
         except Exception:
             _LIB_FAILED = True
@@ -115,15 +123,26 @@ def native_edt(obstacle: np.ndarray) -> np.ndarray | None:
 
 
 def native_build_range_lut(
-    occupied: np.ndarray, t_bins: int, max_range_px: int
+    occupied: np.ndarray, t_bins: int, max_range_px: int,
+    dtype=np.uint8,
 ) -> np.ndarray | None:
-    """(H, W, T) uint8 range LUT via the C++ shear-scan DP, or None."""
+    """(H, W, T) u8/u16 range LUT via the C++ shear-scan DP, or None."""
     lib = _build_and_load()
     if lib is None:
         return None
     occupied = np.ascontiguousarray(occupied, dtype=np.uint8)
     h, w = occupied.shape
-    out = np.empty((h, w, t_bins), dtype=np.uint8)
+    out = np.empty((h, w, t_bins), dtype=dtype)
+    if np.dtype(dtype) == np.uint16:
+        lib.mcl_build_range_lut_u16(
+            occupied.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            h,
+            w,
+            int(t_bins),
+            int(max_range_px),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        )
+        return out
     lib.mcl_build_range_lut(
         occupied.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         h,

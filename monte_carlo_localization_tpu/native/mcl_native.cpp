@@ -52,6 +52,67 @@ void edt_1d(const double* f, int n, double* d, int* v, double* z) {
 
 }  // namespace
 
+// Shear-scan DP range-LUT builder, templated on the output cell type:
+// uint8 when max_range_px <= 254 (the common case, half the memory),
+// uint16 for long-range/fine-resolution maps (max_range_px <= 65534).
+template <typename OutT>
+static void build_range_lut_impl(const uint8_t* occupied, int h, int w,
+                                 int t_bins, int max_range_px, OutT* out) {
+  const double two_pi = 6.283185307179586;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    std::vector<float> d_prev, d_cur;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 1)
+#endif
+    for (int t = 0; t < t_bins; ++t) {
+      const double theta = two_pi * t / t_bins;
+      const double c = std::cos(theta), s = std::sin(theta);
+      const bool row_major_axis = std::abs(s) >= std::abs(c);
+      const int P = row_major_axis ? h : w;
+      const int Q = row_major_axis ? w : h;
+      const int sp = row_major_axis ? (s > 0 ? 1 : -1) : (c > 0 ? 1 : -1);
+      const double denom = row_major_axis ? std::abs(s) : std::abs(c);
+      const double delta = (row_major_axis ? c : s) / denom;
+      const float step_len = static_cast<float>(1.0 / denom);
+
+      d_prev.assign(Q, 0.0f);
+      d_cur.assign(Q, 0.0f);
+      const int p_start = (sp > 0) ? P - 1 : 0;
+      const int p_end = (sp > 0) ? -1 : P;
+      const int p_stepi = (sp > 0) ? -1 : 1;
+      const float maxr = static_cast<float>(max_range_px);
+      for (int p = p_start; p != p_end; p += p_stepi) {
+        const long shift_p = std::lround(delta * sp * p);
+        const long shift_n = std::lround(delta * sp * (p + sp));
+        const long rel = shift_n - shift_p;
+        for (int q = 0; q < Q; ++q) {
+          const int y = row_major_axis ? p : q;
+          const int x = row_major_axis ? q : p;
+          const bool occ = occupied[static_cast<size_t>(y) * w + x];
+          float dist;
+          if (occ) {
+            dist = 0.0f;
+          } else {
+            const long qn = q + rel;
+            const float next = (qn >= 0 && qn < Q) ? d_prev[qn] : 0.0f;
+            dist = next + 1.0f;
+          }
+          d_cur[q] = dist;
+          float px = dist * step_len - 1.0f;  // reference DDA bias (-1 px)
+          if (px < 0.0f) px = 0.0f;
+          if (px > maxr) px = maxr;
+          out[(static_cast<size_t>(y) * w + x) * t_bins + t] =
+              static_cast<OutT>(px + 0.5f);
+        }
+        std::swap(d_prev, d_cur);
+      }
+    }
+  }
+}
+
 extern "C" {
 
 // Exact EDT in cells of a boolean obstacle mask (h x w, row-major).
@@ -135,66 +196,15 @@ void mcl_cast_rays(const int8_t* occ, int h, int w, double origin_x,
 //      matching the reference's boundary hit, src/particle_filter.cpp:629).
 void mcl_build_range_lut(const uint8_t* occupied, int h, int w, int t_bins,
                          int max_range_px, uint8_t* out) {
-  const double two_pi = 6.283185307179586;
-#ifdef _OPENMP
-#pragma omp parallel
-#endif
-  {
-    std::vector<float> d_prev, d_cur;
-#ifdef _OPENMP
-#pragma omp for schedule(dynamic, 1)
-#endif
-    for (int t = 0; t < t_bins; ++t) {
-      const double theta = two_pi * t / t_bins;
-      const double c = std::cos(theta), s = std::sin(theta);
-      const bool row_major_axis = std::abs(s) >= std::abs(c);
-      // primary axis length P, secondary length Q
-      const int P = row_major_axis ? h : w;
-      const int Q = row_major_axis ? w : h;
-      const int sp = row_major_axis ? (s > 0 ? 1 : -1) : (c > 0 ? 1 : -1);
-      const double denom = row_major_axis ? std::abs(s) : std::abs(c);
-      const double delta = (row_major_axis ? c : s) / denom;  // drift / line
-      const float step_len = static_cast<float>(1.0 / denom); // px / line
-
-      d_prev.assign(Q, 0.0f);  // distance (in steps) for line beyond the end
-      d_cur.assign(Q, 0.0f);
-      // iterate primary lines from the ray's far end backward
-      const int p_start = (sp > 0) ? P - 1 : 0;
-      const int p_end = (sp > 0) ? -1 : P;
-      const int p_stepi = (sp > 0) ? -1 : 1;
-      const float maxr = static_cast<float>(max_range_px);
-      for (int p = p_start; p != p_end; p += p_stepi) {
-        // shear shift for this line and the next line along the ray
-        const long shift_p = std::lround(delta * sp * p);
-        const long shift_n = std::lround(delta * sp * (p + sp));
-        const long rel = shift_n - shift_p;  // drift between adjacent lines
-        for (int q = 0; q < Q; ++q) {
-          const int y = row_major_axis ? p : q;
-          const int x = row_major_axis ? q : p;
-          const bool occ = occupied[static_cast<size_t>(y) * w + x];
-          float dist;
-          if (occ) {
-            dist = 0.0f;
-          } else {
-            // the ray leaves cell q (in this line) into cell q+rel of the
-            // next line along the ray; outside the grid = border hit
-            const long qn = q + rel;
-            const float next = (qn >= 0 && qn < Q) ? d_prev[qn] : 0.0f;
-            dist = next + 1.0f;
-          }
-          d_cur[q] = dist;
-          float px = dist * step_len - 1.0f;  // reference DDA bias (-1 px)
-          if (px < 0.0f) px = 0.0f;
-          if (px > maxr) px = maxr;
-          out[(static_cast<size_t>(y) * w + x) * t_bins + t] =
-              static_cast<uint8_t>(px + 0.5f);
-        }
-        std::swap(d_prev, d_cur);
-      }
-    }
-  }
+  build_range_lut_impl<uint8_t>(occupied, h, w, t_bins, max_range_px, out);
 }
 
-int mcl_native_version() { return 2; }
+// uint16 variant for max_range_px > 254 (long range / fine resolution).
+void mcl_build_range_lut_u16(const uint8_t* occupied, int h, int w,
+                             int t_bins, int max_range_px, uint16_t* out) {
+  build_range_lut_impl<uint16_t>(occupied, h, w, t_bins, max_range_px, out);
+}
+
+int mcl_native_version() { return 3; }
 
 }  // extern "C"

@@ -75,8 +75,10 @@ def test_lut_requires_attachment(clutter_map):
 
 def test_lut_guards():
     occ = np.zeros((10, 10), bool)
+    # max_range_px=300 is now served by the u16 LUT, not an error
+    assert build_range_lut(occ, 8, max_range_px=300).dtype == np.uint16
     with pytest.raises(ValueError):
-        build_range_lut(occ, 64, max_range_px=300)  # u8 overflow
+        build_range_lut(occ, 64, max_range_px=70000)  # beyond u16
     with pytest.raises(ValueError):
         build_range_lut(np.zeros((40000, 40000), bool), 1440, 240)  # memory
     with pytest.raises(ValueError):
@@ -107,3 +109,80 @@ def test_filter_with_lut_localizes(clutter_map, beams60, make_scan):
     for _ in range(12):
         state, pose = pf.step(state, np.zeros(3), scan)
     assert np.linalg.norm(np.asarray(pose)[:2] - tp[:2]) < 0.12
+
+
+# ----- u16 LUT (max_range_px > 254; long-range / fine-resolution maps) -----
+
+def test_u16_dtype_selection():
+    from monte_carlo_localization_tpu.mapping.range_lut import lut_dtype
+
+    assert lut_dtype(240) == np.uint8
+    assert lut_dtype(254) == np.uint8
+    assert lut_dtype(255) == np.uint16
+    assert lut_dtype(300) == np.uint16
+    with pytest.raises(ValueError, match="65534"):
+        lut_dtype(70000)
+
+
+def test_u16_numpy_matches_native():
+    from monte_carlo_localization_tpu.native import available
+
+    if not available():
+        pytest.skip("native lib unavailable")
+    occ = np.asarray(random_obstacle_world(height=80, width=100, seed=2).occupied)
+    a = build_range_lut_numpy(occ, 48, 300)
+    b = build_range_lut(occ, 48, 300, backend="native")
+    assert a.dtype == np.uint16 and b.dtype == np.uint16
+    assert (a == b).all()
+
+
+def test_u16_lut_query_matches_dda():
+    """The XLA lut query path is dtype-agnostic: a long-range map
+    (max_range 20 m @ 0.05 -> 400 px) must round-trip through the u16 LUT."""
+    gm = random_obstacle_world(
+        height=160, width=160, seed=4, max_range_meters=20.0
+    )
+    assert gm.max_range_px == 400
+    gm = gm.with_range_lut(720, use_cache=False, backend="auto")
+    assert np.asarray(gm.range_lut).dtype == np.uint16
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, gm.num_free_cells, 500)
+    cells = np.asarray(gm.free_cells)[idx]
+    q = np.stack(
+        [
+            cells[:, 1] * gm.resolution + float(gm.origin_x) + 0.025,
+            cells[:, 0] * gm.resolution + float(gm.origin_y) + 0.025,
+            rng.uniform(-np.pi, np.pi, 500),
+        ],
+        1,
+    ).astype(np.float32)
+    r_dda = np.asarray(cast_rays_dda(gm, jnp.asarray(q)))
+    r_lut = np.asarray(cast_rays_lut(gm, jnp.asarray(q)))
+    # angle quantization at 720 bins: tolerance a few px (as the u8 test)
+    err_px = np.abs(r_dda - r_lut) / gm.resolution
+    assert np.median(err_px) <= 1.0
+    assert np.percentile(err_px, 95) <= 4.0
+
+
+def test_u16_range_beyond_254px_actually_observed():
+    """An empty long-range map must produce LUT ranges above the u8 cap."""
+    gm = box_world(height=500, width=500, max_range_meters=20.0)
+    lut = build_range_lut(
+        np.asarray(gm.occupied), 8, gm.max_range_px, backend="numpy"
+    )
+    assert lut.max() > 254
+
+
+def test_lut_pallas_rejects_u16_maps():
+    from monte_carlo_localization_tpu.config import MCLConfig
+    from monte_carlo_localization_tpu.filter import ParticleFilter
+
+    gm = random_obstacle_world(
+        height=120, width=120, seed=5, max_range_meters=20.0
+    )
+    pf = ParticleFilter(
+        gm, MCLConfig(max_particles=64, raycast_method="lut_pallas")
+    )
+    beams = np.linspace(-2.0, 2.0, 30).astype(np.float32)
+    with pytest.raises(ValueError, match="max_range_px <= 254"):
+        pf.set_beam_angles(beams)
