@@ -202,7 +202,7 @@ CONFIGS = {
             method="lut_pallas", timeout=1200.0,
             note="config#3: Spielberg 2000x2000, full 1080-beam scans"),
     4: dict(kind="single", particles=100_000, beams=60,
-            method="lut_pallas", chain=10,
+            method="lut_pallas", chain=10, timeout=1200.0,
             note="config#4: basement_fixed, 100k-particle global localization"),
     5: dict(kind="fleet", fleet=64, particles=4000, beams=60,
             method="lut_pallas",  # flattened-fleet fused kernel fast path

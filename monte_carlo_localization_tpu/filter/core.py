@@ -197,25 +197,29 @@ def build_pallas_likelihood(
     MCL_LUT_DENSE_MAX, default 2 GiB) use the row-compacted LUT: cells
     beyond max_range share one constant far row via a per-cell row map.
     """
+    from monte_carlo_localization_tpu.mapping.range_lut import lut_dtype
     from monte_carlo_localization_tpu.ops.pallas_lut import (
         build_lut_query_fn,
+        pick_block,
         required_row_stride,
         suggest_theta_bins,
     )
 
-    if grid_map.max_range_px > 254:
-        raise ValueError(
-            "raycast_method='lut_pallas' requires max_range_px <= 254 (the "
-            "kernel's DMA layout packs u8 ranges); "
-            f"max_range_px={grid_map.max_range_px} — use "
-            "raycast_method='lut' (u16 LUT) instead"
-        )
+    dtype = lut_dtype(grid_map.max_range_px)  # u8 <= 254 px, u16 beyond
     beams_np = np.asarray(beam_angles)
     t = suggest_theta_bins(beams_np)
-    stride = required_row_stride(t, beams_np)
-    dense_bytes = grid_map.height * grid_map.width * stride
+    stride = required_row_stride(t, beams_np, itemsize=dtype.itemsize)
+    dense_bytes = grid_map.height * grid_map.width * stride * dtype.itemsize
     max_dense = int(os.environ.get("MCL_LUT_DENSE_MAX", 2 << 30))
     if dense_bytes > max_dense:
+        if dtype.itemsize != 1:
+            raise ValueError(
+                "raycast_method='lut_pallas': map needs a row-compacted LUT "
+                f"({dense_bytes / 2**30:.1f} GiB dense) but the on-device "
+                "compact builder is u8-only and max_range_px="
+                f"{grid_map.max_range_px} > 254 needs u16 — use "
+                "raycast_method='lut', or raise MCL_LUT_DENSE_MAX"
+            )
         grid_map = grid_map.with_compact_range_lut(t, stride)
     else:
         grid_map = grid_map.with_range_lut(t, row_stride=stride)
@@ -236,8 +240,10 @@ def build_pallas_likelihood(
         z_rand=cfg.z_rand,
         sigma_hit=cfg.sigma_hit,
         inv_squash=cfg.inv_squash_factor,
+        block=pick_block(num_particles // num_members, cfg.pallas_block),
         interpret=jax.default_backend() == "cpu",
         num_members=num_members,
+        lut_dtype=dtype,
     )
     return grid_map, query
 

@@ -37,8 +37,8 @@ DEFAULT_THETA_BINS = 1440  # 0.25 deg — matches a 1080-beam 270-deg lidar
 def lut_dtype(max_range_px: int) -> np.dtype:
     """u8 up to 254 px (the common case, half the memory), u16 beyond —
     long-range or fine-resolution maps. The XLA ``lut`` query path is
-    dtype-agnostic; the Pallas kernel requires u8 (its DMA window layout
-    packs 512 ranges per 512 B subrow)."""
+    dtype-agnostic; the Pallas kernel packs 512 u8 or 256 u16 ranges per
+    512 B DMA subrow (ops.pallas_lut.entries_per_subrow)."""
     if max_range_px <= 254:
         return np.dtype(np.uint8)
     if max_range_px <= 65534:

@@ -9,9 +9,10 @@ where the small residuals e_j are STATIC for a given scan geometry
 :func:`suggest_theta_bins`).
 
 Per particle the kernel issues ONE aligned HBM->VMEM DMA (the LUT is
-viewed as (Y, 4, 128) u8 subrows of 512 B; Mosaic allows arbitrary
-dynamic indices on the leading dim, so the window start rounds down to
-512 B), then rotates the window in VMEM by the 512-residual:
+viewed as 512 B subrows — (Y, 4, 128) u8, or (Y, 2, 128) u16 for
+long-range maps; Mosaic allows arbitrary dynamic indices on the leading
+dim, so the window start rounds down to 512 B), then rotates the window
+in VMEM by the subrow residual:
 
     rotate_flat(X (S,128), rem) : X' = dynamic lane roll by rem%128;
     out = select(carry-mask, sublane roll of X' by rem//128 + 1,
@@ -37,8 +38,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-SUB = 512  # DMA granularity: one (4, 128) u8 subrow
+SUB = 512  # DMA granularity in BYTES: one (SUB/itemsize/128, 128) subrow
 MAX_RESIDUAL_SHIFTS = 8
+
+
+def entries_per_subrow(itemsize: int) -> int:
+    """LUT entries per 512 B DMA subrow: 512 for u8, 256 for u16."""
+    if itemsize not in (1, 2):
+        raise ValueError(f"unsupported LUT itemsize {itemsize} (u8/u16 only)")
+    return SUB // itemsize
 
 
 def _round_up(x: int, m: int) -> int:
@@ -58,6 +66,20 @@ def _erf(x):
         + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
     )
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def pick_block(num_particles_per_member: int, want: int) -> int:
+    """Largest particles-per-grid-step block <= ``want`` that divides the
+    per-member particle count and satisfies Mosaic's output-block rule
+    (multiple of 8, or the whole array). Measured on v5e at 4000x1080:
+    block 80 beats 16 by ~9% (grid overhead amortization); tiny filters
+    just take the largest divisor."""
+    npm = num_particles_per_member
+    want = max(1, min(want, npm))
+    for b in range(want, 0, -1):
+        if npm % b == 0 and (b % 8 == 0 or b == npm):
+            return b
+    return npm
 
 
 def suggest_theta_bins(beam_angles: np.ndarray, target: int = 1440) -> int:
@@ -96,8 +118,13 @@ def beam_geometry(beam_angles: np.ndarray, t_bins: int):
     return base, k, e
 
 
-def window_bytes(t_bins: int, beam_angles: np.ndarray) -> int:
-    """Static per-particle DMA window size (multiple of 512 B)."""
+def window_entries(
+    t_bins: int, beam_angles: np.ndarray, itemsize: int = 1
+) -> int:
+    """Static per-particle DMA window size in LUT ENTRIES — a multiple of
+    both the 512 B subrow (512 entries u8, 256 u16) and one full (8, 128)
+    f32 vreg (1024 entries): Mosaic's dynamic sublane rotate needs the
+    rotated (s_sub, 128) f32 window to be whole vregs."""
     base, k, e = beam_geometry(beam_angles, t_bins)
     span = k * (len(beam_angles) - 1) + int(e.max()) + 1
     if span > t_bins:
@@ -105,14 +132,24 @@ def window_bytes(t_bins: int, beam_angles: np.ndarray) -> int:
             f"beam window spans {span} bins > T={t_bins}; use "
             "T = suggest_theta_bins(beam_angles)"
         )
-    return _round_up(SUB - 1 + span, SUB)
+    eps = entries_per_subrow(itemsize)
+    return _round_up(eps - 1 + span, max(eps, 8 * LANE))
 
 
-def required_row_stride(t_bins: int, beam_angles: np.ndarray) -> int:
-    """LUT row stride so any window [b0, b0+span), b0 < T, fits one row."""
-    w = window_bytes(t_bins, beam_angles)
-    max_floor = SUB * ((t_bins - 1) // SUB)
-    return _round_up(max_floor + w, SUB)
+def window_bytes(t_bins: int, beam_angles: np.ndarray) -> int:
+    """Backward-compat alias: u8 window size (entries == bytes)."""
+    return window_entries(t_bins, beam_angles, itemsize=1)
+
+
+def required_row_stride(
+    t_bins: int, beam_angles: np.ndarray, itemsize: int = 1
+) -> int:
+    """LUT row stride (in entries) so any window [b0, b0+span), b0 < T,
+    fits one physical row."""
+    w = window_entries(t_bins, beam_angles, itemsize)
+    eps = entries_per_subrow(itemsize)
+    max_floor = eps * ((t_bins - 1) // eps)
+    return _round_up(max_floor + w, eps)
 
 
 def build_lut_query_fn(
@@ -136,12 +173,15 @@ def build_lut_query_fn(
     block: int = 16,
     interpret: bool = False,
     num_members: int = 1,
+    lut_dtype: np.dtype = np.uint8,
 ):
-    """Returns (query, info): query(lut_flat_u8, particles, obs_px) -> (N,)
+    """Returns (query, info): query(lut_flat, particles, obs_px) -> (N,)
     log weights.
 
-    lut_flat_u8: flattened LUT with rows padded to ``row_stride`` entries
-    (GridMap.with_range_lut(..., row_stride=...)).
+    lut_flat: flattened LUT with rows padded to ``row_stride`` entries
+    (GridMap.with_range_lut(..., row_stride=...)); u8 for
+    max_range_px <= 254, u16 beyond (``lut_dtype`` must match — the DMA
+    window then packs 256 entries per 512 B subrow instead of 512).
     particles: (N, 3) float32. obs_px: (R,) observed ranges in px.
 
     With ``num_members`` = F > 1 (fleet mode) the N particles are F
@@ -165,12 +205,16 @@ def build_lut_query_fn(
             "residuals); sort/uniform-space the beams or change t_bins"
         )
     n_e = len(evals)
-    wbytes = window_bytes(t_bins, beam_angles)
-    need = required_row_stride(t_bins, beam_angles)
+    lut_dtype = np.dtype(lut_dtype)
+    itemsize = lut_dtype.itemsize
+    eps = entries_per_subrow(itemsize)  # LUT entries per 512 B subrow
+    sub_lanes = eps // LANE  # second-minor dim of the subrow view
+    wents = window_entries(t_bins, beam_angles, itemsize)
+    need = required_row_stride(t_bins, beam_angles, itemsize)
     if row_stride < need:
         raise ValueError(f"row_stride {row_stride} < required {need}")
-    if row_stride % SUB != 0:
-        raise ValueError(f"row_stride must be a multiple of {SUB}")
+    if row_stride % eps != 0:
+        raise ValueError(f"row_stride must be a multiple of {eps}")
     n = num_particles
     if n % block != 0:
         raise ValueError(f"num_particles {n} must divide by block {block}")
@@ -180,8 +224,8 @@ def build_lut_query_fn(
             f"block {block}"
         )
     blocks_per_member = (n // num_members) // block
-    s_sub = wbytes // LANE  # sublanes of the (s_sub, 128) window view
-    y_rows = wbytes // SUB  # (4, 128) u8 subrows per DMA
+    s_sub = wents // LANE  # sublanes of the (s_sub, 128) window view
+    y_rows = wents // eps  # (sub_lanes, 128) subrows per DMA
 
     # Static lane layout in the ROTATED window: beam j sits at lane
     # q = k*j + e_j. The map j -> q is injective (validated above), so a
@@ -248,7 +292,7 @@ def build_lut_query_fn(
         rows = []
         for s in range(block):
             win = scratch[slot, s].reshape(s_sub, LANE)
-            # Mosaic has no u8->f32 cast; widen through int32
+            # Mosaic has no u8/u16->f32 cast; widen through int32
             win = win.astype(jnp.int32).astype(jnp.float32)
             rows.append(rotate_flat(win, rem_ref[i * block + s]))
         d = jnp.minimum(jnp.stack(rows), m)  # (block, s_sub, LANE)
@@ -290,7 +334,10 @@ def build_lut_query_fn(
             (block, 1), lambda i, *_: (i, 0), memory_space=pltpu.SMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, block, y_rows, 4, LANE), jnp.uint8),
+            pltpu.VMEM(
+                (2, block, y_rows, sub_lanes, LANE),
+                jnp.uint8 if itemsize == 1 else jnp.uint16,
+            ),
             pltpu.SemaphoreType.DMA((2, block)),
         ],
     )
@@ -316,11 +363,11 @@ def build_lut_query_fn(
         b0 = jnp.round(particles[:, 2] * (t / (2.0 * math.pi))).astype(jnp.int32)
         b0 = jax.lax.rem(b0 + base, t)
         b0 = jnp.where(b0 < 0, b0 + t, b0)
-        rem = jax.lax.rem(b0, SUB)
-        # subrow index computed directly in 512 B units: cell*(stride/512)
+        rem = jax.lax.rem(b0, eps)
+        # subrow index computed directly in 512 B units: cell*(stride/eps)
         # stays < 2^31 for any map whose LUT fits in memory, unlike the
         # flat byte offset cell*stride (int32 overflow at ~0.7M cells)
-        y0 = cell * (row_stride // SUB) + b0 // SUB
+        y0 = cell * (row_stride // eps) + b0 // eps
         y0 = jnp.where(oob, 0, y0)
 
         # observed px spread to the rotated-window lane layout (tiny gather)
@@ -334,10 +381,11 @@ def build_lut_query_fn(
                 1, s_sub, LANE
             )
 
-        lut3 = lut_flat.reshape(-1, 4, LANE)
+        lut3 = lut_flat.reshape(-1, sub_lanes, LANE)
         logw = call(y0, rem, obs_lanes, jnp.asarray(masks_const), lut3)[:, 0]
         return jnp.where(oob, -1e4, logw)
 
     return query, dict(
-        n_e=n_e, window_bytes=wbytes, row_stride=row_stride, t_bins=t_bins
+        n_e=n_e, window_bytes=wents * itemsize, window_entries=wents,
+        row_stride=row_stride, t_bins=t_bins, lut_dtype=str(lut_dtype),
     )

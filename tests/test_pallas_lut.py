@@ -16,14 +16,17 @@ from scipy.special import erf as scipy_erf
 import jax
 import jax.numpy as jnp
 
+from monte_carlo_localization_tpu.mapping.range_lut import lut_dtype
 from monte_carlo_localization_tpu.ops.pallas_lut import (
     MAX_RESIDUAL_SHIFTS,
     SUB,
     beam_geometry,
     build_lut_query_fn,
+    entries_per_subrow,
     required_row_stride,
     suggest_theta_bins,
     window_bytes,
+    window_entries,
 )
 
 Z_HIT, Z_SHORT, Z_MAX, Z_RAND = 0.80, 0.05, 0.05, 0.10
@@ -34,7 +37,7 @@ INV_SQUASH = 1.0 / 2.2
 def _make_lut(rng, n_cells, row_stride, t_bins, max_range_px):
     """Random padded LUT with proper wraparound tail (entry b = bin b%T)."""
     base = rng.integers(0, max_range_px + 1, size=(n_cells, t_bins)).astype(
-        np.uint8
+        lut_dtype(max_range_px)
     )
     reps = -(-row_stride // t_bins)
     return np.tile(base, (1, reps))[:, :row_stride].copy()
@@ -89,7 +92,8 @@ def _build(beams, num_particles, *, height, width, resolution=0.05,
            origin_x=0.0, origin_y=0.0, max_range_px=120, t_bins=None,
            block=16):
     t = t_bins or suggest_theta_bins(beams)
-    stride = required_row_stride(t, beams)
+    dtype = lut_dtype(max_range_px)
+    stride = required_row_stride(t, beams, itemsize=dtype.itemsize)
     query, info = build_lut_query_fn(
         t, beams, num_particles,
         height=height, width=width, resolution=resolution,
@@ -97,7 +101,7 @@ def _build(beams, num_particles, *, height, width, resolution=0.05,
         row_stride=stride,
         z_hit=Z_HIT, z_short=Z_SHORT, z_max=Z_MAX, z_rand=Z_RAND,
         sigma_hit=SIGMA, inv_squash=INV_SQUASH,
-        block=block, interpret=True,
+        block=block, interpret=True, lut_dtype=dtype,
     )
     return query, info, t, stride
 
@@ -166,15 +170,31 @@ class TestGeometryHelpers:
             assert e.min() == 0
 
     def test_window_and_stride_invariants(self):
-        for t in (79, suggest_theta_bins(BEAMS_60)):
-            w = window_bytes(t, BEAMS_60)
-            s = required_row_stride(t, BEAMS_60)
-            assert w % SUB == 0 and s % SUB == 0
-            base, k, e = beam_geometry(BEAMS_60, t)
-            span = k * (len(BEAMS_60) - 1) + e.max() + 1
-            # any window start b0 < t must fit: floor(b0) + w <= s
-            assert SUB * ((t - 1) // SUB) + w <= s
-            assert w >= span
+        for itemsize in (1, 2):
+            eps = entries_per_subrow(itemsize)
+            for t in (79, suggest_theta_bins(BEAMS_60)):
+                w = window_entries(t, BEAMS_60, itemsize)
+                s = required_row_stride(t, BEAMS_60, itemsize)
+                assert w % eps == 0 and s % eps == 0
+                base, k, e = beam_geometry(BEAMS_60, t)
+                span = k * (len(BEAMS_60) - 1) + e.max() + 1
+                # any window start b0 < t must fit: floor(b0) + w <= s
+                assert eps * ((t - 1) // eps) + w <= s
+                assert w >= span
+        # u8 compat alias counts entries == bytes
+        t = suggest_theta_bins(BEAMS_60)
+        assert window_bytes(t, BEAMS_60) == window_entries(t, BEAMS_60, 1)
+
+    def test_pick_block(self):
+        from monte_carlo_localization_tpu.ops.pallas_lut import pick_block
+
+        assert pick_block(4000, 80) == 80
+        assert pick_block(2000, 80) == 80
+        assert pick_block(256, 80) == 64  # largest mult-of-8 divisor <= 80
+        assert pick_block(4000, 16) == 16
+        assert pick_block(12, 80) == 12  # whole-array block is also legal
+        assert pick_block(100, 80) == 100  # no mult-of-8 divisor: whole array
+        assert pick_block(100_000, 80) == 80
 
     def test_window_exceeding_t_rejected(self):
         # tiny T: the beam span no longer fits a single circle row
@@ -292,6 +312,83 @@ class TestKernelParity:
                 sigma_hit=SIGMA, inv_squash=INV_SQUASH,
                 block=16, interpret=True,
             )
+
+
+class TestKernelParityU16:
+    """Long-range maps (max_range_px > 254) use a u16 LUT: 256 entries per
+    512 B DMA subrow instead of 512. Same oracle, different window math."""
+
+    def test_random_particles_u16(self):
+        rng = np.random.default_rng(10)
+        got, want = _run_case(rng, BEAMS_60, 64, max_range_px=600)
+        _assert_close(got, want)
+
+    def test_wraparound_bins_u16(self):
+        rng = np.random.default_rng(11)
+
+        def theta_gen(n):
+            return rng.uniform(2 * math.pi - 0.3, 2 * math.pi + 0.3, n)
+
+        got, want = _run_case(rng, BEAMS_60, 48, theta_gen=theta_gen,
+                              max_range_px=600)
+        _assert_close(got, want)
+
+    def test_1080_beams_u16(self):
+        rng = np.random.default_rng(12)
+        beams = np.linspace(-0.75 * np.pi, 0.75 * np.pi, 1080).astype(
+            np.float32
+        )
+        got, want = _run_case(rng, beams, 16, height=16, width=16,
+                              max_range_px=300)
+        _assert_close(got, want, tol=5e-3)
+
+    def test_bad_stride_rejected_u16(self):
+        """Too-small and non-256-multiple strides must fail the u16 guards
+        (u16 subrows hold 256 entries, so alignment is finer than u8)."""
+        t = suggest_theta_bins(BEAMS_60)
+        s_u16 = required_row_stride(t, BEAMS_60, itemsize=2)
+        assert s_u16 % 256 == 0
+
+        def build(stride):
+            return build_lut_query_fn(
+                t, BEAMS_60, 16, height=8, width=8, resolution=0.05,
+                origin_x=0.0, origin_y=0.0, max_range_px=600,
+                row_stride=stride,
+                z_hit=Z_HIT, z_short=Z_SHORT, z_max=Z_MAX, z_rand=Z_RAND,
+                sigma_hit=SIGMA, inv_squash=INV_SQUASH,
+                interpret=True, lut_dtype=np.uint16,
+            )
+
+        with pytest.raises(ValueError):
+            build(s_u16 - 256)  # below the required stride
+        with pytest.raises(ValueError):
+            build(s_u16 + 128)  # not a multiple of the subrow
+
+    def test_long_range_filter_end_to_end(self, beams60, make_scan):
+        """A lut_pallas ParticleFilter on a max_range_px>254 map localizes:
+        the u16 kernel path is selected automatically and the weighted pose
+        lands at the true pose (previously this config raised)."""
+        from monte_carlo_localization_tpu.config import MCLConfig
+        from monte_carlo_localization_tpu.filter import ParticleFilter
+        from monte_carlo_localization_tpu.filter.core import expected_pose
+        from monte_carlo_localization_tpu.mapping import random_obstacle_world
+
+        gm = random_obstacle_world(
+            height=96, width=96, num_obstacles=12, seed=7,
+            resolution=0.05, max_range_meters=20.0,  # 400 px > 254 -> u16
+        )
+        assert gm.max_range_px > 254
+        pose = np.array([2.4, 2.4, 0.5], np.float32)
+        scan = make_scan(gm, pose, beams60)
+        pf = ParticleFilter(
+            gm, MCLConfig(max_particles=256, raycast_method="lut_pallas")
+        )
+        pf.set_beam_angles(beams60)
+        assert np.asarray(pf.grid_map.range_lut).dtype == np.uint16
+        state = pf.init_pose(pose, seed=0)
+        state, est = pf.step(state, np.zeros(3, np.float32), scan)
+        est = np.asarray(est)
+        assert np.linalg.norm(est[:2] - pose[:2]) < 0.3, est
 
 
 class TestFilterIntegration:

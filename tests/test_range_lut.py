@@ -173,7 +173,10 @@ def test_u16_range_beyond_254px_actually_observed():
     assert lut.max() > 254
 
 
-def test_lut_pallas_rejects_u16_maps():
+def test_lut_pallas_accepts_u16_maps():
+    """Long-range maps (max_range_px > 254) run on the Pallas fast path
+    with a u16 LUT (256 entries per 512 B DMA subrow); full numeric parity
+    is covered in test_pallas_lut.TestKernelParityU16."""
     from monte_carlo_localization_tpu.config import MCLConfig
     from monte_carlo_localization_tpu.filter import ParticleFilter
 
@@ -184,5 +187,9 @@ def test_lut_pallas_rejects_u16_maps():
         gm, MCLConfig(max_particles=64, raycast_method="lut_pallas")
     )
     beams = np.linspace(-2.0, 2.0, 30).astype(np.float32)
-    with pytest.raises(ValueError, match="max_range_px <= 254"):
-        pf.set_beam_angles(beams)
+    pf.set_beam_angles(beams)
+    assert np.asarray(pf.grid_map.range_lut).dtype == np.uint16
+    state = pf.init_global(seed=0)
+    state, pose = pf.step(state, np.zeros(3, np.float32),
+                          np.full(len(beams), 4.0, np.float32))
+    assert np.isfinite(np.asarray(pose)).all()
