@@ -54,7 +54,9 @@ class ShardedParticleFilter:
             _validate_parallel_config,
         )
 
-        _validate_parallel_config(self.config, "ShardedParticleFilter")
+        _validate_parallel_config(
+            self.config, "ShardedParticleFilter", allow_pallas=True
+        )
         self.map = grid_map
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), (axis,))
@@ -81,12 +83,33 @@ class ShardedParticleFilter:
         )
         if self.config.raycast_method == "lut":
             self.map = grid_map.with_range_lut(self.config.lut_theta_bins)
+        # lut_pallas attaches its LUT in set_beam_angles (kernel geometry
+        # is static per beam set), exactly as the single-filter facade does
+        self._pallas_query = None
         self._build_step()
 
     def _build_step(self):
         cfg = self.config
         axis = self.axis
         n_total = cfg.max_particles
+
+        pallas_query = None
+        if cfg.raycast_method == "lut_pallas":
+            if self.beam_angles is None:
+                return  # deferred until set_beam_angles
+            from monte_carlo_localization_tpu.filter.core import (
+                build_pallas_likelihood,
+            )
+
+            # the kernel runs PER SHARD inside shard_map: its static
+            # particle count is the local slice, and the (padded) LUT is a
+            # replicated operand every shard DMAs from its own copy of
+            self.map, pallas_query = build_pallas_likelihood(
+                self.map, np.asarray(self.beam_angles), cfg,
+                n_total // self.num_devices,
+            )
+            self._pallas_query = pallas_query
+        sensor_sm = self.sensor
 
         def local_step(particles, log_w, key, action, scan, beams, gmap, sensor):
             """Runs on each shard: particles (n_local, 3), log_w (n_local,)."""
@@ -147,16 +170,23 @@ class ShardedParticleFilter:
             )
 
             # ---- likelihood (local) ----
-            log_w_new = sensor_update(
-                proposal,
-                scan,
-                beams,
-                gmap,
-                sensor,
-                raycast_method=cfg.raycast_method,
-                sphere_march_iters=cfg.sphere_march_iters,
-                sensor_mode=cfg.sensor_model_mode,
-            )
+            if pallas_query is not None:
+                obs_px = sensor_sm.to_pixel_index(scan).astype(jnp.float32)
+                log_w_new = pallas_query(
+                    gmap.range_lut, proposal, obs_px,
+                    row_map=gmap.lut_row_map,
+                )
+            else:
+                log_w_new = sensor_update(
+                    proposal,
+                    scan,
+                    beams,
+                    gmap,
+                    sensor,
+                    raycast_method=cfg.raycast_method,
+                    sphere_march_iters=cfg.sphere_march_iters,
+                    sensor_mode=cfg.sensor_model_mode,
+                )
             log_w_new = log_w_new - jax.lax.pmax(jnp.max(log_w_new), axis)
 
             # ---- pose estimate (global) ----
@@ -208,6 +238,8 @@ class ShardedParticleFilter:
 
     def set_beam_angles(self, beam_angles: np.ndarray) -> None:
         self.beam_angles = jnp.asarray(beam_angles, dtype=jnp.float32)
+        if self.config.raycast_method == "lut_pallas":
+            self._build_step()
 
     def step(self, state: MCLState, action, scan):
         if self.beam_angles is None:

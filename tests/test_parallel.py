@@ -189,13 +189,7 @@ class TestShardedLut:
             state, pose = spf.step(state, np.zeros(3), scan60)
         assert np.isfinite(np.asarray(pose)).all()
 
-    def test_lut_pallas_rejected_in_parallel(self, clutter_map, beams60):
-        with pytest.raises(ValueError, match="lut_pallas"):
-            ShardedParticleFilter(
-                clutter_map,
-                MCLConfig(max_particles=800, raycast_method="lut_pallas"),
-                beam_angles=beams60,
-            )
+    def test_lut_pallas_rejected_in_meshed_fleet(self, clutter_map, beams60):
         # FleetFilter allows lut_pallas only single-device on a shared map;
         # with a mesh it must reject up front
         mesh1 = Mesh(np.array(jax.devices()[:1]), ("fleet",))
@@ -207,6 +201,32 @@ class TestShardedLut:
                 beam_angles=beams60,
                 mesh=mesh1,
             )
+
+    @needs_8
+    def test_sharded_pallas_kernel_per_shard(self, beams60, make_scan):
+        """lut_pallas under explicit-collectives sharding: each shard runs
+        the fused kernel on its local slice of the particle axis against a
+        replicated padded LUT (kept light for the 8-virtual-device CPU
+        stand-in — small map, 2 steps, interpret-mode kernel)."""
+        from monte_carlo_localization_tpu.mapping import random_obstacle_world
+
+        gm = random_obstacle_world(
+            height=96, width=96, num_obstacles=10, seed=11
+        )
+        true_pose = np.array([2.4, 2.4, 0.5], np.float32)
+        scan = make_scan(gm, true_pose, beams60)
+        spf = ShardedParticleFilter(
+            gm,
+            MCLConfig(max_particles=800, raycast_method="lut_pallas"),
+            beam_angles=beams60,
+        )
+        assert spf._pallas_query is not None
+        state = spf.init_global(seed=2)
+        for _ in range(2):
+            state, pose = spf.step(state, np.zeros(3), scan)
+        assert np.isfinite(np.asarray(pose)).all()
+        w = np.asarray(state.weights())
+        assert abs(w.sum() - 1.0) < 1e-4
 
 
 class TestFleetPallas:
