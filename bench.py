@@ -190,13 +190,16 @@ def bench_fleet(fleet_size, num_particles, num_beams, gm, method="lut",
 
 
 CONFIGS = {
-    # BASELINE.json workload configs 1-5 on the real reference maps
+    # BASELINE.json workload configs 1-5 on the real reference maps.
+    # Every config gets the long watchdog window: a cold remote-compile
+    # service takes minutes per fresh program, and a spurious timeout
+    # silently downgrades the recorded number to the XLA fallback path.
     1: dict(kind="single", particles=4000, beams=60,
-            method="lut_pallas",
+            method="lut_pallas", timeout=1200.0,
             note="config#1: 4000p x 60 beams, recorded SLAM map "
                  "(levine.pgm missing upstream)"),
     2: dict(kind="single", particles=4000, beams=60,
-            method="lut_pallas",
+            method="lut_pallas", timeout=1200.0,
             note="config#2: sibal1 circuit, 4000p fast inner loop"),
     3: dict(kind="single", particles=4000, beams=1080,
             method="lut_pallas", timeout=1200.0,
@@ -205,7 +208,7 @@ CONFIGS = {
             method="lut_pallas", chain=10, timeout=1200.0,
             note="config#4: basement_fixed, 100k-particle global localization"),
     5: dict(kind="fleet", fleet=64, particles=4000, beams=60,
-            method="lut_pallas",  # flattened-fleet fused kernel fast path
+            method="lut_pallas", timeout=1200.0,  # flattened-fleet fused kernel
             note="config#5: 64-car fleet x 4000 particles, sibal1"),
 }
 

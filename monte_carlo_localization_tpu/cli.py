@@ -106,7 +106,9 @@ def cmd_replay(args) -> int:
         node.initialize_pose(trace.truth_pose[0])
     elif args.init == "global":
         pass  # node starts globally initialized
-    res = node.replay(trace)
+    res = (
+        node.replay_chained(trace) if args.chained else node.replay(trace)
+    )
     node.close_sinks()
     out = dict(
         corrections=len(res.times),
@@ -295,6 +297,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="render every Nth correction (default 10)")
     rp.add_argument("--record-out", default=None, dest="record_out",
                     help="stream outputs to a .jsonl or .npz sink")
+    rp.add_argument(
+        "--chained", action="store_true",
+        help="chain corrections on-device (step_many) — throughput path; "
+        "skips the dual-rate tracker and per-correction sinks",
+    )
     rp.add_argument("-v", "--verbose", action="store_true")
     rp.set_defaults(fn=cmd_replay)
 
@@ -336,6 +343,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # persist XLA/Mosaic compiles across CLI invocations (big-map LUT
+    # builder programs cold-compile for minutes; see bench.py which does
+    # the same for its child runs)
+    import os
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        str(Path.home() / ".cache" / "jax_comp"),
+    )
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -130,6 +130,22 @@ class TestMCLNode:
         assert res.rmse_xy is not None and res.rmse_xy < 0.12
         assert res.rmse_theta < 0.08
 
+    def test_replay_chained_matches_live_replay(self, clutter_map, trace):
+        """The on-device chained replay (step_many, throughput path) tracks
+        truth as well as the per-dispatch live replay: same odometry-derived
+        actions, same filter — only the dispatch granularity differs."""
+        node = MCLNode(clutter_map, MCLConfig(max_particles=1500))
+        node.initialize_pose(trace.truth_pose[0])
+        res = node.replay_chained(trace, chunk=32)
+        assert len(res.times) == len(trace.scan_t)
+        assert res.rmse_xy is not None and res.rmse_xy < 0.12
+        assert res.rmse_theta < 0.08
+        # node state advanced: a follow-up live update keeps working
+        node.on_scan(trace.scan_ranges[-1], beam_angles=trace.beam_angles)
+        node.update(now=0.0)
+        pose = node.update(now=0.04)
+        assert pose is not None and np.isfinite(pose).all()
+
     def test_dual_rate_tracked_pose(self, clutter_map, trace):
         node = MCLNode(clutter_map, MCLConfig(max_particles=1000))
         node.initialize_pose(trace.truth_pose[0])
