@@ -91,6 +91,16 @@ class MCLConfig:
     pallas_block: int = 80
     resample_method: str = "systematic"  # "systematic" | "multinomial" (reference compat)
     exact_dt_heuristic: bool = True  # reproduce reference dt reconstruction (:452-471)
+    # pipeline live corrections: dispatch without blocking, harvest poses
+    # as the device finishes them (the anchor refresh is then a few
+    # dispatches stale — the staleness delay compensation already models).
+    # Decouples the correction rate from the device->host round trip on
+    # remote-attached accelerators; replay()/replay_chained() ignore it.
+    async_correction: bool = False
+    # max corrections in flight before the harvest blocks. 4 measured ~2x
+    # the blocking rate through a remote-TPU tunnel; very deep pipelines
+    # (16+) can stall remote transports outright — keep this small.
+    async_depth: int = 4
     dtype: str = "float32"
     seed: int = 0
 

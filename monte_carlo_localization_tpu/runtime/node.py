@@ -88,6 +88,13 @@ class MCLNode:
         self.downsampled_ranges: np.ndarray | None = None
         self._last_update_time: float | None = None
         self._avg_mcl_ms_window: list[float] = []
+        # async_correction pipeline: up to config.async_depth dispatched
+        # corrections in flight as (pose device-array, dispatch time)
+        import collections
+
+        self._inflight_q: collections.deque = collections.deque()
+        self._last_dispatch_mono: float | None = None
+        self._in_replay = False  # replay drives sim time: always sync there
 
         # Augmented-MCL auto re-localization monitor (config.auto_reinit).
         # The reference has no detector — kidnapped-robot recovery there is
@@ -187,12 +194,84 @@ class MCLNode:
             action[1] = self.rng.normal() * 0.01 * nf
             action[2] = self.rng.normal() * 0.05 * nf
 
+        if self.config.async_correction and not self._in_replay:
+            return self._update_async(action, now)
+
         with Stopwatch(self.stats, "total_mcl_time"):
             self.state, pose_dev = self.filter.step(
                 self.state, action, self.downsampled_ranges
             )
             pose = np.asarray(jax.block_until_ready(pose_dev), dtype=np.float64)
         self.stats.measurement_count += 1
+        self._post_correction(pose)
+        return pose
+
+    def _update_async(self, action, now: float) -> np.ndarray | None:
+        """Pipelined corrections (SURVEY §7 hard-part 5): dispatch without
+        blocking, harvest poses as the device finishes them.
+
+        The filter STATE advances at dispatch rate (every tick, up to
+        ``async_depth`` corrections in flight — the bounded-queue analogue
+        of the reference's try_lock skip); the pose READBACK for the
+        anchor refresh lags by the device→host latency. That is the
+        reference's own dual-rate shape — ~6 Hz anchor refreshes under a
+        100-200 Hz tracker — and on a remote-attached TPU it decouples the
+        correction rate from the ~80 ms tunnel round trip that a blocking
+        read pays. Dispatch happens BEFORE harvest so the readback
+        overlaps the next corrections' compute.
+        """
+        # ---- dispatch first (if the queue has room) ----
+        if (
+            len(self._inflight_q) < self.config.async_depth
+            and self.downsampled_ranges is not None
+        ):
+            t_mono = time.monotonic()
+            if self._last_dispatch_mono is not None:
+                # motion since the LAST DISPATCH, not the last tick: ticks
+                # that only polled must not drop odometry displacement
+                snap = self.tracker.snapshot()
+                ddt = min(t_mono - self._last_dispatch_mono, 1.0)
+                action = np.array(
+                    [snap.velocity * ddt, 0.0, snap.angular_velocity * ddt]
+                )
+            self._last_dispatch_mono = t_mono
+            # (update() already counted this tick in self.iters)
+            self.state, pose_dev = self.filter.step(
+                self.state, action, self.downsampled_ranges
+            )
+            try:
+                # start the device->host copy NOW so the round-trip
+                # latency of consecutive readbacks overlaps instead of
+                # serializing at harvest time
+                pose_dev.copy_to_host_async()
+            except AttributeError:
+                pass
+            self._inflight_q.append((pose_dev, t_mono))
+
+        # ---- harvest every finished correction, oldest first ----
+        pose = None
+        while self._inflight_q:
+            pose_dev, t_disp = self._inflight_q[0]
+            try:
+                ready = pose_dev.is_ready()
+            except AttributeError:  # older jax: no non-blocking probe
+                ready = True
+            if not ready and len(self._inflight_q) < self.config.async_depth:
+                break
+            # a full queue blocks on the oldest entry (try_lock analogue:
+            # rather than dropping the tick, we bound the pipeline depth)
+            pose = np.asarray(
+                jax.block_until_ready(pose_dev), dtype=np.float64
+            )
+            self._inflight_q.popleft()
+            self.stats.total_mcl_time += (time.monotonic() - t_disp) * 1e3
+            self.stats.measurement_count += 1
+            self._post_correction(pose)
+        return pose
+
+    def _post_correction(self, pose: np.ndarray) -> None:
+        """Anchor refresh + auto-reinit monitor + periodic logging — the
+        tail of the reference's timer_update (:781-827)."""
         self.inferred_pose = pose
 
         # anchor refresh with delay compensation (reference :781-807)
@@ -223,7 +302,6 @@ class MCLNode:
         if self.iters % 200 == 0:
             self.stats.print_stats(self.log)
             self.stats.reset()
-        return pose
 
     # ----- auto re-localization (Augmented MCL w_fast/w_slow monitor) -----
     def _update_reinit_monitor(self, q: float) -> None:
@@ -346,6 +424,7 @@ class MCLNode:
         — only meaningful when replaying in real time.
         """
         self.delay_compensation_enabled = realtime_compensation
+        self._in_replay = True
         times, poses, tracked = [], [], []
         wall0 = time.perf_counter()
         warm_wall = None  # wall clock after the FIRST correction: the
@@ -370,6 +449,7 @@ class MCLNode:
                     self.publish_correction(ev.t, pose)
                     if warm_wall is None:
                         warm_wall = time.perf_counter()
+        self._in_replay = False
         wall = time.perf_counter() - wall0
         if warm_wall is not None and len(times) > 1:
             # steady-state rate over corrections after the warmup one

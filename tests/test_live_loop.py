@@ -169,3 +169,52 @@ def test_publish_odom_config_gates_odom(clutter_map, beams60, make_scan):
     node.add_sink(CallbackSink(lambda top, t, p: seen.append(top)))
     node.publish_tick(0.1)
     assert "odom" not in seen and "tf" in seen
+
+
+def test_async_correction_pipeline(clutter_map, beams60, make_scan):
+    """async_correction dispatches without blocking and harvests the pose
+    on a later tick: corrections keep landing, at most one in flight, and
+    the harvested poses are sane (SURVEY §7 hard-part 5)."""
+    node, true_pose, scan = _make_node(
+        clutter_map, beams60, make_scan, async_correction=True
+    )
+    poses = []
+    t = 0.1
+    for _ in range(40):
+        node.on_scan(scan, beam_angles=beams60)
+        p = node.update(now=t)
+        if p is not None:
+            poses.append(p)
+        t += 0.02
+        time.sleep(0.001)
+    # drain the last in-flight correction
+    for _ in range(20):
+        p = node.update(now=t)
+        t += 0.02
+        if p is not None:
+            poses.append(p)
+            break
+        time.sleep(0.005)
+    assert len(poses) >= 5, "async pipeline produced too few corrections"
+    assert node.stats.measurement_count >= len(poses)
+    poses = np.asarray(poses)
+    assert np.isfinite(poses).all()
+    # the filter still localizes through the pipelined path
+    err = np.linalg.norm(poses[-1][:2] - true_pose[:2])
+    assert err < 0.3, poses[-1]
+
+
+def test_async_ignored_during_replay(clutter_map, beams60, make_scan):
+    """replay() must stay synchronous even with async_correction on —
+    sim-time replay has no wall clock for the pipeline to poll against."""
+    from monte_carlo_localization_tpu.runtime import synthesize_trace
+
+    tr = synthesize_trace(clutter_map, duration_s=1.0, num_beams=60, seed=3)
+    cfg = MCLConfig(max_particles=256, raycast_method="lut",
+                    lut_theta_bins=360, angle_step=1, async_correction=True)
+    node = MCLNode(clutter_map, cfg, rng_seed=0)
+    node.initialize_pose(tr.truth_pose[0])
+    res = node.replay(tr)
+    assert not node._inflight_q
+    assert len(res.times) > 10
+    assert res.rmse_xy is not None and res.rmse_xy < 0.3
