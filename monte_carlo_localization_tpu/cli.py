@@ -102,13 +102,30 @@ def cmd_replay(args) -> int:
         from monte_carlo_localization_tpu.runtime import VizSink
 
         node.add_sink(VizSink(gm, args.viz_out, every=args.viz_every))
-    if args.init == "truth" and trace.truth_pose is not None:
+    if args.resume_from:
+        from monte_carlo_localization_tpu.runtime import load_state
+
+        node.state, meta = load_state(args.resume_from, tracker=node.tracker)
+        node.iters = int(meta.get("iters", 0))
+        if meta.get("inferred_pose") is not None:
+            node.inferred_pose = np.asarray(meta["inferred_pose"])
+        if trace.beam_angles is not None:
+            node.on_scan(trace.scan_ranges[0], beam_angles=trace.beam_angles)
+    elif args.init == "truth" and trace.truth_pose is not None:
         node.initialize_pose(trace.truth_pose[0])
     elif args.init == "global":
         pass  # node starts globally initialized
     res = (
         node.replay_chained(trace) if args.chained else node.replay(trace)
     )
+    if args.checkpoint_out:
+        from monte_carlo_localization_tpu.runtime import save_state
+
+        save_state(
+            args.checkpoint_out, node.state,
+            iters=node.iters, inferred_pose=node.inferred_pose,
+            tracker=node.tracker,
+        )
     node.close_sinks()
     out = dict(
         corrections=len(res.times),
@@ -302,6 +319,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="chain corrections on-device (step_many) — throughput path; "
         "skips the dual-rate tracker and per-correction sinks",
     )
+    rp.add_argument("--checkpoint-out", default=None, dest="checkpoint_out",
+                    help="write the final filter/tracker state (npz)")
+    rp.add_argument("--resume-from", default=None, dest="resume_from",
+                    help="resume from a checkpoint instead of --init")
     rp.add_argument("-v", "--verbose", action="store_true")
     rp.set_defaults(fn=cmd_replay)
 
