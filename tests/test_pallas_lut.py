@@ -282,6 +282,36 @@ class TestKernelParity:
         )
         assert not np.isclose(got[0], got[block])
 
+    def test_heavy_duplicate_windows(self):
+        """Converged-cloud shape: most particles share one cell+heading
+        (so most DMA windows are identical), in shuffled order, spanning
+        blocks — oracle parity must hold exactly."""
+        rng = np.random.default_rng(6)
+        n, height, width = 64, 24, 32
+        query, info, t, stride = _build(BEAMS_60, n, height=height,
+                                        width=width, block=16)
+        lut2d = _make_lut(rng, height * width, stride, t, 120)
+        particles = np.empty((n, 3), np.float32)
+        # keep poses OFF cell-boundary multiples of the 0.05 resolution:
+        # there f32 (kernel) and f64 (oracle) floor to different cells
+        particles[:] = np.array([0.71, 0.63, 1.1], np.float32)
+        particles[5] = [0.32, 0.21, -0.4]
+        particles[23] = [1.12, 0.94, 2.0]
+        particles[24] = [1.12, 0.94, 2.0]
+        particles[49] = [0.22, 1.03, 0.1]
+        rng.shuffle(particles)
+        obs = rng.uniform(0, 120, 60).astype(np.float32)
+        got = np.asarray(
+            query(jnp.asarray(lut2d.reshape(-1)), jnp.asarray(particles),
+                  jnp.asarray(obs))
+        )
+        want = _oracle_logw(
+            lut2d, particles.astype(np.float64), obs.astype(np.float64),
+            BEAMS_60, t, 120, height=height, width=width,
+            resolution=0.05, origin_x=0.0, origin_y=0.0,
+        )
+        _assert_close(got, want)
+
     def test_1080_beam_headline_geometry(self):
         rng = np.random.default_rng(5)
         r = 1080
