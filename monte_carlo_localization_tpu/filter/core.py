@@ -212,14 +212,8 @@ def build_pallas_likelihood(
     dense_bytes = grid_map.height * grid_map.width * stride * dtype.itemsize
     max_dense = int(os.environ.get("MCL_LUT_DENSE_MAX", 2 << 30))
     if dense_bytes > max_dense:
-        if dtype.itemsize != 1:
-            raise ValueError(
-                "raycast_method='lut_pallas': map needs a row-compacted LUT "
-                f"({dense_bytes / 2**30:.1f} GiB dense) but the on-device "
-                "compact builder is u8-only and max_range_px="
-                f"{grid_map.max_range_px} > 254 needs u16 — use "
-                "raycast_method='lut', or raise MCL_LUT_DENSE_MAX"
-            )
+        # row-compacted LUT: device builder for u8 maps, native host
+        # builder for u16 (long-range) maps
         grid_map = grid_map.with_compact_range_lut(t, stride)
     else:
         grid_map = grid_map.with_range_lut(t, row_stride=stride)

@@ -190,10 +190,13 @@ class GridMap:
         Cells with clearance >= max_range share one constant far row
         (exact — such a cell reads max_range in every direction); the rest
         get real rows addressed via ``lut_row_map``. Built on device in
-        theta chunks so the transient slab stays ~1 GB.
+        theta chunks so the transient slab stays ~1 GB; long-range maps
+        (max_range_px > 254, u16 entries) use the native C++/OpenMP host
+        builder instead (the device builder is u8-only).
         """
         import dataclasses
 
+        from monte_carlo_localization_tpu.mapping.range_lut import lut_dtype
         from monte_carlo_localization_tpu.mapping.range_lut_device import (
             build_compact_range_lut_jax,
         )
@@ -212,12 +215,41 @@ class GridMap:
         # saturates the far-row margin test — recompute with headroom
         from monte_carlo_localization_tpu.mapping.range_lut_device import (
             FAR_ROW_MARGIN,
+            compact_row_map,
         )
 
         clearance = clearance_field(
             np.asarray(self.occupied),
             self.max_range_px + FAR_ROW_MARGIN + 2,
         )
+        if lut_dtype(self.max_range_px).itemsize != 1:
+            # u16 host path (native C++/OpenMP; numpy fallback via the
+            # dense builder would need the full dense LUT in RAM — reject)
+            from monte_carlo_localization_tpu.native import (
+                native_build_compact_range_lut,
+            )
+
+            row_map, _ = compact_row_map(clearance, self.max_range_px)
+            lut = native_build_compact_range_lut(
+                np.asarray(self.occupied),
+                t_bins,
+                self.max_range_px,
+                row_map,
+                stride,
+                dtype=lut_dtype(self.max_range_px),
+            )
+            if lut is None:
+                raise RuntimeError(
+                    "compact u16 range LUT needs the native builder (g++) — "
+                    "unavailable; use raycast_method='lut' or a coarser map"
+                )
+            return dataclasses.replace(
+                self,
+                range_lut=jnp.asarray(lut),
+                lut_row_map=jnp.asarray(row_map),
+                lut_theta_bins=t_bins,
+                lut_row_stride=stride if stride != t_bins else 0,
+            )
         lut, row_map = build_compact_range_lut_jax(
             self.occupied,
             clearance,

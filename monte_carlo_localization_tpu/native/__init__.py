@@ -92,8 +92,22 @@ def _build_and_load() -> ctypes.CDLL | None:
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint16),
             ]
+            for name, outptr in (
+                ("mcl_build_compact_range_lut", ctypes.c_uint8),
+                ("mcl_build_compact_range_lut_u16", ctypes.c_uint16),
+            ):
+                getattr(lib, name).argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int,
+                    ctypes.POINTER(outptr),
+                ]
             lib.mcl_native_version.restype = ctypes.c_int
-            assert lib.mcl_native_version() == 3
+            assert lib.mcl_native_version() == 4
             _LIB = lib
         except Exception:
             _LIB_FAILED = True
@@ -150,6 +164,49 @@ def native_build_range_lut(
         int(t_bins),
         int(max_range_px),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
+
+
+def native_build_compact_range_lut(
+    occupied: np.ndarray,
+    t_bins: int,
+    max_range_px: int,
+    row_map: np.ndarray,
+    row_stride: int,
+    dtype=np.uint8,
+) -> np.ndarray | None:
+    """Row-compacted PADDED range LUT: (num_rows, row_stride) u8/u16, row 0
+    the shared far row (cells with clearance >= max_range), or None.
+    ``row_map`` is the (H*W,) int32 cell->row map from
+    :func:`mapping.range_lut_device.compact_row_map`."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    occupied = np.ascontiguousarray(occupied, dtype=np.uint8)
+    row_map = np.ascontiguousarray(row_map, dtype=np.int32)
+    h, w = occupied.shape
+    num_rows = int(row_map.max()) + 1
+    out = np.full((num_rows, row_stride), max_range_px, dtype=dtype)
+    fn = (
+        lib.mcl_build_compact_range_lut_u16
+        if np.dtype(dtype) == np.uint16
+        else lib.mcl_build_compact_range_lut
+    )
+    cptr = (
+        ctypes.POINTER(ctypes.c_uint16)
+        if np.dtype(dtype) == np.uint16
+        else ctypes.POINTER(ctypes.c_uint8)
+    )
+    fn(
+        occupied.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+        int(t_bins),
+        int(max_range_px),
+        row_map.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(row_stride),
+        out.ctypes.data_as(cptr),
     )
     return out
 

@@ -113,6 +113,77 @@ static void build_range_lut_impl(const uint8_t* occupied, int h, int w,
   }
 }
 
+// Compact variant: only cells with row_map[cell] > 0 (those within
+// max_range of an obstacle) get real LUT rows; everything else shares the
+// caller-initialized constant far row 0. Rows are written PADDED to
+// row_stride entries with angle wraparound (entry b = bin b % t_bins),
+// i.e. the layout the Pallas query kernel consumes directly. Threads
+// parallelize over theta bins; two bins never write the same entry
+// (b == t mod t_bins), so the scattered writes are race-free.
+template <typename OutT>
+static void build_compact_range_lut_impl(const uint8_t* occupied, int h,
+                                         int w, int t_bins, int max_range_px,
+                                         const int32_t* row_map,
+                                         int row_stride, OutT* out) {
+  const double two_pi = 6.283185307179586;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    std::vector<float> d_prev, d_cur;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 1)
+#endif
+    for (int t = 0; t < t_bins; ++t) {
+      const double theta = two_pi * t / t_bins;
+      const double c = std::cos(theta), s = std::sin(theta);
+      const bool row_major_axis = std::abs(s) >= std::abs(c);
+      const int P = row_major_axis ? h : w;
+      const int Q = row_major_axis ? w : h;
+      const int sp = row_major_axis ? (s > 0 ? 1 : -1) : (c > 0 ? 1 : -1);
+      const double denom = row_major_axis ? std::abs(s) : std::abs(c);
+      const double delta = (row_major_axis ? c : s) / denom;
+      const float step_len = static_cast<float>(1.0 / denom);
+
+      d_prev.assign(Q, 0.0f);
+      d_cur.assign(Q, 0.0f);
+      const int p_start = (sp > 0) ? P - 1 : 0;
+      const int p_end = (sp > 0) ? -1 : P;
+      const int p_stepi = (sp > 0) ? -1 : 1;
+      const float maxr = static_cast<float>(max_range_px);
+      for (int p = p_start; p != p_end; p += p_stepi) {
+        const long shift_p = std::lround(delta * sp * p);
+        const long shift_n = std::lround(delta * sp * (p + sp));
+        const long rel = shift_n - shift_p;
+        for (int q = 0; q < Q; ++q) {
+          const int y = row_major_axis ? p : q;
+          const int x = row_major_axis ? q : p;
+          const bool occ = occupied[static_cast<size_t>(y) * w + x];
+          float dist;
+          if (occ) {
+            dist = 0.0f;
+          } else {
+            const long qn = q + rel;
+            const float next = (qn >= 0 && qn < Q) ? d_prev[qn] : 0.0f;
+            dist = next + 1.0f;
+          }
+          d_cur[q] = dist;
+          const int32_t rm = row_map[static_cast<size_t>(y) * w + x];
+          if (rm > 0) {
+            float px = dist * step_len - 1.0f;
+            if (px < 0.0f) px = 0.0f;
+            if (px > maxr) px = maxr;
+            const OutT v = static_cast<OutT>(px + 0.5f);
+            OutT* row = out + static_cast<size_t>(rm) * row_stride;
+            for (int b = t; b < row_stride; b += t_bins) row[b] = v;
+          }
+        }
+        std::swap(d_prev, d_cur);
+      }
+    }
+  }
+}
+
 extern "C" {
 
 // Exact EDT in cells of a boolean obstacle mask (h x w, row-major).
@@ -205,6 +276,27 @@ void mcl_build_range_lut_u16(const uint8_t* occupied, int h, int w,
   build_range_lut_impl<uint16_t>(occupied, h, w, t_bins, max_range_px, out);
 }
 
-int mcl_native_version() { return 3; }
+// Row-compacted builders (giant maps): out is (num_rows, row_stride) with
+// row 0 the caller-initialized shared far row; cells map to rows via
+// row_map (h*w int32, 0 = far row). Rows come out padded with angle
+// wraparound, ready for the Pallas query kernel.
+void mcl_build_compact_range_lut(const uint8_t* occupied, int h, int w,
+                                 int t_bins, int max_range_px,
+                                 const int32_t* row_map, int row_stride,
+                                 uint8_t* out) {
+  build_compact_range_lut_impl<uint8_t>(occupied, h, w, t_bins, max_range_px,
+                                        row_map, row_stride, out);
+}
+
+void mcl_build_compact_range_lut_u16(const uint8_t* occupied, int h, int w,
+                                     int t_bins, int max_range_px,
+                                     const int32_t* row_map, int row_stride,
+                                     uint16_t* out) {
+  build_compact_range_lut_impl<uint16_t>(occupied, h, w, t_bins,
+                                         max_range_px, row_map, row_stride,
+                                         out);
+}
+
+int mcl_native_version() { return 4; }
 
 }  // extern "C"

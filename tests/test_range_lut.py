@@ -193,3 +193,80 @@ def test_lut_pallas_accepts_u16_maps():
     state, pose = pf.step(state, np.zeros(3, np.float32),
                           np.full(len(beams), 4.0, np.float32))
     assert np.isfinite(np.asarray(pose)).all()
+
+
+@pytest.mark.parametrize("max_range_px", [60, 300])
+def test_native_compact_matches_dense(max_range_px):
+    """The native compact builder's rows must equal the dense padded
+    builder's rows for near cells, and the shared far row must be constant
+    max_range_px (u8 and u16 layouts)."""
+    from monte_carlo_localization_tpu.mapping.range_lut import lut_dtype
+    from monte_carlo_localization_tpu.mapping.range_lut_device import (
+        FAR_ROW_MARGIN,
+        compact_row_map,
+    )
+    from monte_carlo_localization_tpu.mapping.grid_map import clearance_field
+    from monte_carlo_localization_tpu.native import (
+        available,
+        native_build_compact_range_lut,
+    )
+
+    if not available():
+        pytest.skip("native lib unavailable")
+    gm = random_obstacle_world(height=90, width=70, num_obstacles=6, seed=9)
+    occ = np.asarray(gm.occupied)
+    t_bins, stride = 48, 128
+    dtype = lut_dtype(max_range_px)
+    clearance = clearance_field(occ, max_range_px + FAR_ROW_MARGIN + 2)
+    row_map, row_cells = compact_row_map(clearance, max_range_px)
+    compact = native_build_compact_range_lut(
+        occ, t_bins, max_range_px, row_map, stride, dtype=dtype
+    )
+    assert compact is not None
+    assert compact.dtype == dtype
+    assert compact.shape == (len(row_cells) + 1, stride)
+    assert (compact[0] == max_range_px).all()  # shared far row
+
+    dense = build_range_lut(
+        occ, t_bins, max_range_px, backend="native", row_stride=stride
+    ).reshape(-1, stride)
+    # near cells: padded rows match the dense padded build exactly
+    np.testing.assert_array_equal(compact[row_map[row_cells]],
+                                  dense[row_cells])
+    # far cells really do see max_range everywhere (the dense build agrees)
+    far = np.nonzero(row_map == 0)[0]
+    if len(far):
+        assert (dense[far] == max_range_px).all()
+
+
+def test_lut_pallas_u16_compact_end_to_end(monkeypatch):
+    """A long-range map forced onto the compact path (tiny
+    MCL_LUT_DENSE_MAX) localizes through the Pallas kernel with the
+    native-built u16 compact LUT + row map."""
+    from monte_carlo_localization_tpu.config import MCLConfig
+    from monte_carlo_localization_tpu.filter import ParticleFilter
+    from monte_carlo_localization_tpu.native import available
+    from monte_carlo_localization_tpu.ops.raycast import cast_rays_dda
+
+    if not available():
+        pytest.skip("native lib unavailable")
+    monkeypatch.setenv("MCL_LUT_DENSE_MAX", "1000000")  # force compact
+    gm = random_obstacle_world(
+        height=96, width=96, num_obstacles=10, seed=12, max_range_meters=20.0
+    )
+    assert gm.max_range_px > 254
+    beams = np.linspace(-2.0, 2.0, 30).astype(np.float32)
+    pose = np.array([2.4, 2.4, 0.5], np.float32)
+    q = np.stack([np.full(30, pose[0]), np.full(30, pose[1]),
+                  pose[2] + beams], 1).astype(np.float32)
+    scan = np.asarray(cast_rays_dda(gm, jnp.asarray(q)))
+    pf = ParticleFilter(
+        gm, MCLConfig(max_particles=128, raycast_method="lut_pallas")
+    )
+    pf.set_beam_angles(beams)
+    assert pf.grid_map.lut_row_map is not None  # compact path taken
+    assert np.asarray(pf.grid_map.range_lut).dtype == np.uint16
+    state = pf.init_pose(pose, seed=0)
+    state, est = pf.step(state, np.zeros(3, np.float32), scan)
+    est = np.asarray(est)
+    assert np.linalg.norm(est[:2] - pose[:2]) < 0.3, est
