@@ -39,8 +39,9 @@ def _validate_parallel_config(
     validation)."""
     if cfg.raycast_method == "lut_pallas" and not allow_pallas:
         raise ValueError(
-            f"{who} supports raycast_method='lut_pallas' only for a "
-            "single-device fleet on one shared map; use 'lut'"
+            f"{who} supports raycast_method='lut_pallas' only on a shared "
+            "(non-batched) map with a 1-D fleet mesh (fleet_size divisible "
+            "by the mesh) or no mesh; use 'lut'"
         )
     if cfg.raycast_method not in ("sphere", "dda", "lut", "lut_pallas"):
         raise ValueError(f"Unknown raycast method: {cfg.raycast_method!r}")
@@ -152,13 +153,19 @@ class FleetFilter:
         (the pjit path; the explicit-collectives path is
         ShardedParticleFilter)."""
         self.config = config or MCLConfig()
-        # the fused Pallas kernel can serve a whole single-device fleet on
-        # one shared map: the fleet flattens to one big particle batch
-        # with per-member scans (obs blocks indexed by member)
+        # the fused Pallas kernel serves a fleet on one shared map: the
+        # fleet flattens to one big particle batch with per-member scans
+        # (obs blocks indexed by member). With a 1-D fleet mesh the same
+        # structure runs PER SHARD inside shard_map (members are
+        # independent — zero collectives), each shard holding F/D members
+        # against a replicated LUT. A 2-D fleet x particle mesh stays on
+        # the XLA paths (the kernel is not auto-partitionable over its
+        # particle axis).
         pallas_ok = (
             self.config.raycast_method == "lut_pallas"
-            and mesh is None
+            and particle_axis is None
             and not is_batched_map(grid_map)
+            and (mesh is None or fleet_size % mesh.shape[fleet_axis] == 0)
         )
         _validate_parallel_config(
             self.config, "FleetFilter", allow_pallas=pallas_ok
@@ -249,10 +256,11 @@ class FleetFilter:
             self._step = jax.jit(fleet_step, donate_argnums=(0,))
 
     def _build_pallas_step(self) -> None:
-        """Single-device shared-map fast path: ONE fused Pallas likelihood
-        over the flattened (F*N, 3) fleet with per-member scans; resample/
-        motion/pose stay per-member via vmap. The whole fleet correction
-        is one kernel launch instead of F vmapped gather chains."""
+        """Shared-map fast path: the fused Pallas likelihood runs over the
+        flattened (members*N, 3) particle batch with per-member scans;
+        resample/motion/pose stay per-member via vmap. On a 1-D fleet mesh
+        the identical local step runs per shard inside shard_map (F/D
+        members each, replicated LUT, no collectives)."""
         from monte_carlo_localization_tpu.filter.core import (
             build_pallas_likelihood,
         )
@@ -260,16 +268,18 @@ class FleetFilter:
         from monte_carlo_localization_tpu.ops.resample import resample_indices
 
         cfg = self.config
+        mesh = self.mesh
         f = self.fleet_size
         n = cfg.max_particles
+        local_f = f if mesh is None else f // mesh.shape[self.fleet_axis]
         # the kernel's scalar-prefetch arrays (y0, rem: int32 per particle)
         # live in SMEM (1 MB): cap one kernel call at ~64k particles and
         # loop over member chunks inside the jitted step
-        mpc = f
+        mpc = local_f
         while mpc > 1 and mpc * n > 64_000:
-            # largest divisor of f with mpc*n under the SMEM budget
+            # largest divisor of local_f with mpc*n under the SMEM budget
             for d in range(mpc - 1, 0, -1):
-                if f % d == 0:
+                if local_f % d == 0:
                     mpc = d
                     break
         self._members_per_call = mpc
@@ -277,16 +287,18 @@ class FleetFilter:
             self.map, np.asarray(self.beam_angles), cfg, mpc * n,
             num_members=mpc,
         )
+        sensor_sm = self.sensor
 
-        def fleet_step(state: FleetState, actions, scans, beams, gmap, sensor):
-            del beams  # geometry is baked into the kernel
+        def local_step(particles, logw, keys, actions, scans, gmap):
+            """(local_f, N, ...) in, (local_f, ...) out — one shard's (or
+            the whole single-device fleet's) correction."""
 
-            def propose(particles, logw, key, action):
+            def propose(particles_m, logw_m, key, action):
                 key, kr, km = jax.random.split(key, 3)
-                idx = resample_indices(kr, logw, method=cfg.resample_method)
+                idx = resample_indices(kr, logw_m, method=cfg.resample_method)
                 prop = motion_model(
                     km,
-                    particles[idx],
+                    particles_m[idx],
                     action,
                     dispersion_x=cfg.motion_dispersion_x,
                     dispersion_y=cfg.motion_dispersion_y,
@@ -295,12 +307,10 @@ class FleetFilter:
                 )
                 return prop, key
 
-            prop, keys = jax.vmap(propose)(
-                state.particles, state.log_weights, state.keys, actions
-            )
-            obs_px = sensor.to_pixel_index(scans).astype(jnp.float32)  # (F, R)
+            prop, keys = jax.vmap(propose)(particles, logw, keys, actions)
+            obs_px = sensor_sm.to_pixel_index(scans).astype(jnp.float32)
             parts = []
-            for c0 in range(0, f, mpc):
+            for c0 in range(0, local_f, mpc):
                 parts.append(
                     query(
                         gmap.range_lut,
@@ -309,12 +319,30 @@ class FleetFilter:
                         row_map=gmap.lut_row_map,
                     )
                 )
-            logw = jnp.concatenate(parts).reshape(f, n)
+            logw = jnp.concatenate(parts).reshape(local_f, n)
             logw = logw - jax.lax.stop_gradient(
                 jnp.max(logw, axis=1, keepdims=True)
             )
             poses = jax.vmap(expected_pose)(prop, logw)
-            return FleetState(particles=prop, log_weights=logw, keys=keys), poses
+            return prop, logw, keys, poses
+
+        if mesh is not None:
+            fa = self.fleet_axis
+            local_step = jax.shard_map(
+                local_step,
+                mesh=mesh,
+                in_specs=(P(fa), P(fa), P(fa), P(fa), P(fa), P()),
+                out_specs=(P(fa), P(fa), P(fa), P(fa)),
+                check_vma=False,
+            )
+
+        def fleet_step(state: FleetState, actions, scans, beams, gmap, sensor):
+            del beams, sensor  # geometry/model are baked into the kernel
+            p, lw, keys, poses = local_step(
+                state.particles, state.log_weights, state.keys, actions,
+                scans, gmap,
+            )
+            return FleetState(particles=p, log_weights=lw, keys=keys), poses
 
         self._step = jax.jit(fleet_step, donate_argnums=(0,))
 

@@ -189,10 +189,10 @@ class TestShardedLut:
             state, pose = spf.step(state, np.zeros(3), scan60)
         assert np.isfinite(np.asarray(pose)).all()
 
-    def test_lut_pallas_rejected_in_meshed_fleet(self, clutter_map, beams60):
-        # FleetFilter allows lut_pallas only single-device on a shared map;
-        # with a mesh it must reject up front
-        mesh1 = Mesh(np.array(jax.devices()[:1]), ("fleet",))
+    def test_lut_pallas_fleet_mesh_rules(self, clutter_map, beams60):
+        # a 2-D fleet x particle mesh cannot run the kernel (it is not
+        # auto-partitionable over the particle axis) -> reject up front
+        mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("fleet", "p"))
         with pytest.raises(ValueError, match="lut_pallas"):
             FleetFilter(
                 clutter_map,
@@ -200,7 +200,54 @@ class TestShardedLut:
                 config=MCLConfig(max_particles=64, raycast_method="lut_pallas"),
                 beam_angles=beams60,
                 mesh=mesh1,
+                particle_axis="p",
             )
+        # fleet size not divisible over the mesh -> reject
+        mesh8 = Mesh(np.array(jax.devices()[:8]), ("fleet",))
+        if len(jax.devices()) >= 8:
+            with pytest.raises(ValueError, match="lut_pallas"):
+                FleetFilter(
+                    clutter_map,
+                    fleet_size=12,
+                    config=MCLConfig(
+                        max_particles=64, raycast_method="lut_pallas"
+                    ),
+                    beam_angles=beams60,
+                    mesh=mesh8,
+                )
+
+    @needs_8
+    def test_fleet_pallas_over_mesh(self, beams60, make_scan):
+        """1-D fleet mesh + lut_pallas: each shard runs the flattened-fleet
+        kernel on its local members against the replicated LUT; members
+        localize independently with their own scans."""
+        from monte_carlo_localization_tpu.mapping import random_obstacle_world
+
+        gm = random_obstacle_world(height=96, width=96, num_obstacles=10,
+                                   seed=13)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("fleet",))
+        f = 16
+        ff = FleetFilter(
+            gm,
+            fleet_size=f,
+            config=MCLConfig(max_particles=128,
+                             raycast_method="lut_pallas"),
+            beam_angles=beams60,
+            mesh=mesh,
+        )
+        assert ff._pallas
+        poses0 = np.tile(np.array([2.4, 2.4, 0.5], np.float32), (f, 1))
+        poses0[8:] = np.array([1.2, 1.5, -0.7], np.float32)
+        scans = np.stack([
+            make_scan(gm, poses0[i], beams60) for i in range(f)
+        ])
+        state = ff.init_pose(poses0, seed=1)
+        actions = np.zeros((f, 3), np.float32)
+        for _ in range(3):
+            state, poses = ff.step(state, actions, scans)
+        poses = np.asarray(poses)
+        err = np.linalg.norm(poses[:, :2] - poses0[:, :2], axis=1)
+        assert err.max() < 0.3, err
 
     @needs_8
     def test_sharded_pallas_kernel_per_shard(self, beams60, make_scan):
