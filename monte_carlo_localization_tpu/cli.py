@@ -115,9 +115,19 @@ def cmd_replay(args) -> int:
         node.initialize_pose(trace.truth_pose[0])
     elif args.init == "global":
         pass  # node starts globally initialized
-    res = (
-        node.replay_chained(trace) if args.chained else node.replay(trace)
-    )
+    if args.profile_dir:
+        from monte_carlo_localization_tpu.utils import device_trace
+
+        with device_trace(args.profile_dir, log=log):
+            res = (
+                node.replay_chained(trace)
+                if args.chained
+                else node.replay(trace)
+            )
+    else:
+        res = (
+            node.replay_chained(trace) if args.chained else node.replay(trace)
+        )
     if args.checkpoint_out:
         from monte_carlo_localization_tpu.runtime import save_state
 
@@ -323,6 +333,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write the final filter/tracker state (npz)")
     rp.add_argument("--resume-from", default=None, dest="resume_from",
                     help="resume from a checkpoint instead of --init")
+    rp.add_argument("--profile-dir", default=None, dest="profile_dir",
+                    help="capture a jax.profiler device trace of the "
+                    "replay (TensorBoard/Perfetto)")
     rp.add_argument("-v", "--verbose", action="store_true")
     rp.set_defaults(fn=cmd_replay)
 

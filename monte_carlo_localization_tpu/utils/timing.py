@@ -64,6 +64,45 @@ class TimingStats:
         logger("=====================================")
 
 
+class device_trace:
+    """Capture a ``jax.profiler`` device trace around a code block — the
+    TPU-native deep dive behind :class:`TimingStats`'s wall-clock
+    accounting (SURVEY §5 "tracing/profiling"). Writes a TensorBoard/
+    Perfetto trace directory::
+
+        with device_trace("/tmp/mcl_trace"):
+            state, pose = pf.step(state, action, scan)
+
+    View with ``tensorboard --logdir`` or ui.perfetto.dev. No-op (with a
+    warning via ``log``) if profiling is unsupported on the backend.
+    """
+
+    def __init__(self, log_dir: str, log: Callable[[str], None] = print):
+        self.log_dir = str(log_dir)
+        self.log = log
+        self._active = False
+
+    def __enter__(self) -> "device_trace":
+        import jax
+
+        try:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        except Exception as e:  # pragma: no cover - backend dependent
+            self.log(f"device trace unavailable: {e}")
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._active:
+            import jax
+
+            try:
+                jax.profiler.stop_trace()
+            finally:
+                self._active = False
+            self.log(f"device trace written to {self.log_dir}")
+
+
 class Stopwatch:
     """Context manager accumulating wall ms into a TimingStats attribute."""
 

@@ -90,3 +90,26 @@ def test_info_command(map_yaml, capsys):
     rc = cli.main(["info", map_yaml])
     assert rc == 0
     assert "world" in capsys.readouterr().out
+
+
+def test_profile_dir_writes_trace(map_yaml, tmp_path, capsys):
+    """--profile-dir captures a jax.profiler device trace around the
+    replay (best-effort: skips cleanly if the backend can't profile)."""
+    import os
+
+    trace = str(tmp_path / "t2.npz")
+    assert cli.main(["make-trace", "--map", map_yaml, "--out", trace,
+                     "--duration", "1", "--beams", "60"]) == 0
+    capsys.readouterr()
+    prof = tmp_path / "prof"
+    out = _run(capsys, [
+        "replay", "--map", map_yaml, "--trace", trace,
+        "--particles", "128", "--angle-step", "2", "--raycast", "lut",
+        "--profile-dir", str(prof),
+    ])
+    assert out["corrections"] > 2
+    wrote = prof.exists() and any(
+        f for _, _, fs in os.walk(prof) for f in fs
+    )
+    if not wrote:
+        pytest.skip("backend does not support jax.profiler traces")
