@@ -50,6 +50,8 @@ def _load_cfg(args) -> "MCLConfig":
         overrides["raycast_method"] = args.raycast
     if getattr(args, "resample", None):
         overrides["resample_method"] = args.resample
+    if getattr(args, "async_correction", False):
+        overrides["async_correction"] = True
     return cfg.replace(**overrides) if overrides else cfg
 
 
@@ -352,6 +354,11 @@ def build_parser() -> argparse.ArgumentParser:
     lv.add_argument("--duration", type=float, default=None,
                     help="seconds of trace to feed (default: min(trace, 10))")
     lv.add_argument("--record-out", default=None, dest="record_out")
+    lv.add_argument("--async-correction", action="store_true",
+                    dest="async_correction",
+                    help="pipeline corrections: dispatch without blocking, "
+                    "harvest poses as the device finishes (~2x the live "
+                    "rate on remote-attached accelerators)")
     lv.add_argument("-v", "--verbose", action="store_true")
     lv.set_defaults(fn=cmd_live, resample=None)
 
