@@ -437,20 +437,30 @@ class ParticleFilter:
                 exact_dt_heuristic=cfg.exact_dt_heuristic,
             )
         )
-        sensor_j = jax.jit(
-            lambda p: sensor_update(
-                p,
-                obs,
-                self.beam_angles,
-                self.grid_map,
-                self.sensor,
-                raycast_method=(
-                    "lut" if cfg.raycast_method == "lut_pallas" else cfg.raycast_method
-                ),
-                sphere_march_iters=cfg.sphere_march_iters,
-                sensor_mode=cfg.sensor_model_mode,
+        if cfg.raycast_method == "lut_pallas" and getattr(
+            self, "_pallas_query", None
+        ) is not None:
+            # time the ACTUAL production kernel, not the XLA lut twin
+            query, sensor_sm, gmap = self._pallas_query, self.sensor, self.grid_map
+            obs_px = sensor_sm.to_pixel_index(obs).astype(jnp.float32)
+            sensor_j = jax.jit(
+                lambda p: query(
+                    gmap.range_lut, p, obs_px, row_map=gmap.lut_row_map
+                )
             )
-        )
+        else:
+            sensor_j = jax.jit(
+                lambda p: sensor_update(
+                    p,
+                    obs,
+                    self.beam_angles,
+                    self.grid_map,
+                    self.sensor,
+                    raycast_method=cfg.raycast_method,
+                    sphere_march_iters=cfg.sphere_march_iters,
+                    sensor_mode=cfg.sensor_model_mode,
+                )
+            )
 
         def timed(fn, *a, attr, stats):
             out = fn(*a)

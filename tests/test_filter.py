@@ -139,3 +139,24 @@ def test_state_is_pytree():
     )
     leaves = jtu.tree_leaves(s)
     assert len(leaves) == 4  # particles, log_weights, key, log_quality
+
+
+def test_profile_phases_reports_all_phases(clutter_map, beams60, make_scan):
+    """profile_phases populates every reference TimingStats accumulator;
+    with lut_pallas active the sensor phase times the ACTUAL kernel."""
+    from monte_carlo_localization_tpu.config import MCLConfig
+    from monte_carlo_localization_tpu.filter import ParticleFilter
+
+    pose = np.array([10.0, 10.0, 0.5], np.float32)
+    scan = make_scan(clutter_map, pose, beams60)
+    pf = ParticleFilter(
+        clutter_map,
+        MCLConfig(max_particles=256, raycast_method="lut_pallas"),
+    )
+    pf.set_beam_angles(beams60)
+    state = pf.init_pose(pose, seed=0)
+    stats = pf.profile_phases(state, np.zeros(3, np.float32), scan, iters=3)
+    assert stats.measurement_count == 3
+    for attr in ("resampling_time", "motion_model_time",
+                 "sensor_model_time", "total_mcl_time"):
+        assert getattr(stats, attr) > 0.0, attr
