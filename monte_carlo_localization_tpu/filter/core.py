@@ -209,14 +209,41 @@ def build_pallas_likelihood(
     beams_np = np.asarray(beam_angles)
     t = suggest_theta_bins(beams_np)
     stride = required_row_stride(t, beams_np, itemsize=dtype.itemsize)
-    dense_bytes = grid_map.height * grid_map.width * stride * dtype.itemsize
+    num_maps = (
+        grid_map.occupancy.shape[0] if grid_map.occupancy.ndim == 3 else 1
+    )
+    dense_bytes = (
+        num_maps * grid_map.height * grid_map.width * stride * dtype.itemsize
+    )
     max_dense = int(os.environ.get("MCL_LUT_DENSE_MAX", 2 << 30))
     if dense_bytes > max_dense:
+        if num_maps > 1:
+            raise ValueError(
+                "lut_pallas heterogeneous fleet: stacked per-member LUTs "
+                f"would be {dense_bytes / 2**30:.1f} GiB dense and the "
+                "row-compacted builder supports single maps only — use "
+                "raycast_method='lut', smaller maps, or raise "
+                "MCL_LUT_DENSE_MAX"
+            )
         # row-compacted LUT: device builder for u8 maps, native host
         # builder for u16 (long-range) maps
         grid_map = grid_map.with_compact_range_lut(t, stride)
     else:
         grid_map = grid_map.with_range_lut(t, row_stride=stride)
+    if num_maps > 1:
+        from monte_carlo_localization_tpu.ops.pallas_lut import (
+            entries_per_subrow,
+        )
+
+        total_subrows = (
+            num_maps * grid_map.height * grid_map.width
+            * (stride // entries_per_subrow(dtype.itemsize))
+        )
+        if total_subrows > 2**31 - 1:
+            raise ValueError(
+                "lut_pallas heterogeneous fleet: concatenated LUT subrow "
+                f"index ({total_subrows}) overflows int32"
+            )
     query, _ = build_lut_query_fn(
         grid_map.lut_theta_bins,
         beams_np,
@@ -224,8 +251,9 @@ def build_pallas_likelihood(
         height=grid_map.height,
         width=grid_map.width,
         resolution=grid_map.resolution,
-        origin_x=float(grid_map.origin_x),
-        origin_y=float(grid_map.origin_y),
+        # batched maps pass per-member origins at query time instead
+        origin_x=0.0 if num_maps > 1 else float(grid_map.origin_x),
+        origin_y=0.0 if num_maps > 1 else float(grid_map.origin_y),
         max_range_px=grid_map.max_range_px,
         row_stride=stride,
         z_hit=cfg.z_hit,
@@ -238,6 +266,7 @@ def build_pallas_likelihood(
         interpret=jax.default_backend() == "cpu",
         num_members=num_members,
         lut_dtype=dtype,
+        per_member_maps=num_maps > 1,
     )
     return grid_map, query
 

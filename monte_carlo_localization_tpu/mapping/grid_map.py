@@ -295,11 +295,11 @@ class GridMap:
 
     @property
     def height(self) -> int:
-        return self.occupancy.shape[0]
+        return self.occupancy.shape[-2]  # batched fleet maps: (F, H, W)
 
     @property
     def width(self) -> int:
-        return self.occupancy.shape[1]
+        return self.occupancy.shape[-1]
 
     @property
     def num_free_cells(self) -> int:

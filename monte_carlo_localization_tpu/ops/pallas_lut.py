@@ -174,6 +174,7 @@ def build_lut_query_fn(
     interpret: bool = False,
     num_members: int = 1,
     lut_dtype: np.dtype = np.uint8,
+    per_member_maps: bool = False,
 ):
     """Returns (query, info): query(lut_flat, particles, obs_px) -> (N,)
     log weights.
@@ -188,6 +189,15 @@ def build_lut_query_fn(
     contiguous groups of N/F, ``obs_px`` is (F, R) — one scan per fleet
     member — and each particle block reads its member's scan (the block
     size must divide the per-member particle count).
+
+    With ``per_member_maps`` (heterogeneous fleet) ``lut_flat`` is the
+    concatenation of every member's padded LUT (identical H x W x stride
+    each — ``stack_maps`` pads grids to a common shape) and the query
+    takes two extra arguments: ``member_base`` — the global index of this
+    call's first member (fleet steps chunk members per kernel call) —
+    and ``origins`` = (origin_x (F_total,), origin_y (F_total,)) traced
+    per-member origins. Each particle's window index then offsets into
+    its member's LUT block.
     """
     r = len(beam_angles)
     base, k, e = beam_geometry(beam_angles, t_bins)
@@ -353,9 +363,25 @@ def build_lut_query_fn(
     masks_const = masks_np
     obs_layout_flat = obs_layout.reshape(-1)
 
-    def query(lut_flat, particles, obs_px, row_map=None):
-        gx = ((particles[:, 0] - origin_x) / resolution).astype(jnp.int32)
-        gy = ((particles[:, 1] - origin_y) / resolution).astype(jnp.int32)
+    # global member index of each particle within one kernel call, before
+    # the traced member_base offset (static layout: contiguous groups)
+    member_of = np.arange(n, dtype=np.int32) // max(n // num_members, 1)
+    member_subrows = height * width * (row_stride // eps)
+
+    def query(lut_flat, particles, obs_px, row_map=None, member_base=0,
+              origins=None):
+        if per_member_maps:
+            if origins is None:
+                raise ValueError(
+                    "per_member_maps query needs origins=(ox (F,), oy (F,))"
+                )
+            mi = member_base + jnp.asarray(member_of)
+            ox = origins[0][mi]
+            oy = origins[1][mi]
+        else:
+            ox, oy = origin_x, origin_y
+        gx = ((particles[:, 0] - ox) / resolution).astype(jnp.int32)
+        gy = ((particles[:, 1] - oy) / resolution).astype(jnp.int32)
         oob = (gx < 0) | (gx >= width) | (gy < 0) | (gy >= height)
         cell = jnp.clip(gy, 0, height - 1) * width + jnp.clip(gx, 0, width - 1)
         if row_map is not None:  # compacted LUT: cell -> LUT row indirection
@@ -368,6 +394,8 @@ def build_lut_query_fn(
         # stays < 2^31 for any map whose LUT fits in memory, unlike the
         # flat byte offset cell*stride (int32 overflow at ~0.7M cells)
         y0 = cell * (row_stride // eps) + b0 // eps
+        if per_member_maps:  # offset into this particle's member LUT block
+            y0 = y0 + (member_base + jnp.asarray(member_of)) * member_subrows
         y0 = jnp.where(oob, 0, y0)
 
         # observed px spread to the rotated-window lane layout (tiny gather)
@@ -377,9 +405,10 @@ def build_lut_query_fn(
                 num_members, s_sub, LANE
             )
         else:
-            obs_lanes = obs_clip[jnp.asarray(obs_layout_flat)].reshape(
-                1, s_sub, LANE
-            )
+            # accept (R,) or a one-member (1, R) slice (fleet mpc == 1)
+            obs_lanes = obs_clip.reshape(-1)[
+                jnp.asarray(obs_layout_flat)
+            ].reshape(1, s_sub, LANE)
 
         lut3 = lut_flat.reshape(-1, sub_lanes, LANE)
         logw = call(y0, rem, obs_lanes, jnp.asarray(masks_const), lut3)[:, 0]

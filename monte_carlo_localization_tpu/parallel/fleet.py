@@ -153,18 +153,18 @@ class FleetFilter:
         (the pjit path; the explicit-collectives path is
         ShardedParticleFilter)."""
         self.config = config or MCLConfig()
-        # the fused Pallas kernel serves a fleet on one shared map: the
-        # fleet flattens to one big particle batch with per-member scans
-        # (obs blocks indexed by member). With a 1-D fleet mesh the same
-        # structure runs PER SHARD inside shard_map (members are
-        # independent — zero collectives), each shard holding F/D members
-        # against a replicated LUT. A 2-D fleet x particle mesh stays on
-        # the XLA paths (the kernel is not auto-partitionable over its
-        # particle axis).
+        # the fused Pallas kernel serves the fleet as one big flattened
+        # particle batch with per-member scans (obs blocks indexed by
+        # member); heterogeneous fleets concatenate per-member LUTs and
+        # fold the member index into the window address. With a 1-D fleet
+        # mesh the same structure runs PER SHARD inside shard_map (members
+        # are independent — zero collectives), each shard holding F/D
+        # members against a replicated LUT. A 2-D fleet x particle mesh
+        # stays on the XLA paths (the kernel is not auto-partitionable
+        # over its particle axis).
         pallas_ok = (
             self.config.raycast_method == "lut_pallas"
             and particle_axis is None
-            and not is_batched_map(grid_map)
             and (mesh is None or fleet_size % mesh.shape[fleet_axis] == 0)
         )
         _validate_parallel_config(
@@ -283,11 +283,13 @@ class FleetFilter:
                     mpc = d
                     break
         self._members_per_call = mpc
+        hetero = is_batched_map(self.map)
         self.map, query = build_pallas_likelihood(
             self.map, np.asarray(self.beam_angles), cfg, mpc * n,
             num_members=mpc,
         )
         sensor_sm = self.sensor
+        fa = self.fleet_axis
 
         def local_step(particles, logw, keys, actions, scans, gmap):
             """(local_f, N, ...) in, (local_f, ...) out — one shard's (or
@@ -309,14 +311,24 @@ class FleetFilter:
 
             prop, keys = jax.vmap(propose)(particles, logw, keys, actions)
             obs_px = sensor_sm.to_pixel_index(scans).astype(jnp.float32)
+            shard0 = (
+                jax.lax.axis_index(fa) * local_f if mesh is not None else 0
+            )
             parts = []
             for c0 in range(0, local_f, mpc):
+                kw = {}
+                if hetero:
+                    kw = dict(
+                        member_base=shard0 + c0,
+                        origins=(gmap.origin_x, gmap.origin_y),
+                    )
                 parts.append(
                     query(
                         gmap.range_lut,
                         prop[c0 : c0 + mpc].reshape(mpc * n, 3),
                         obs_px[c0 : c0 + mpc],
                         row_map=gmap.lut_row_map,
+                        **kw,
                     )
                 )
             logw = jnp.concatenate(parts).reshape(local_f, n)

@@ -216,6 +216,85 @@ class TestShardedLut:
                     mesh=mesh8,
                 )
 
+    def test_fleet_pallas_heterogeneous_maps(self, beams60, make_scan):
+        """lut_pallas on a stacked heterogeneous fleet: per-member LUTs
+        concatenate and the member index folds into the window address;
+        per-member origins are applied at query time."""
+        from monte_carlo_localization_tpu.mapping import (
+            box_world,
+            random_obstacle_world,
+        )
+        from monte_carlo_localization_tpu.parallel import stack_maps
+
+        m1 = random_obstacle_world(height=96, width=96, num_obstacles=8,
+                                   seed=14)
+        m2 = box_world(height=96, width=96, origin=(-3.0, -2.0, 0.0))
+        bm = stack_maps([m1, m2])
+        p1 = np.array([2.4, 2.4, 0.5], np.float32)
+        p2 = np.array([-0.9, 0.1, 0.1], np.float32)
+        s1 = make_scan(m1, p1, beams60)
+        s2 = make_scan(m2, p2, beams60)
+        ff = FleetFilter(
+            bm, fleet_size=2,
+            config=MCLConfig(max_particles=256,
+                             raycast_method="lut_pallas"),
+            beam_angles=beams60,
+        )
+        assert ff._pallas
+        state = ff.init_pose(np.stack([p1, p2]), seed=2)
+        for _ in range(4):
+            state, poses = ff.step(
+                state, np.zeros((2, 3)), np.stack([s1, s2])
+            )
+        poses = np.asarray(poses)
+        assert np.linalg.norm(poses[0, :2] - p1[:2]) < 0.25
+        assert np.linalg.norm(poses[1, :2] - p2[:2]) < 0.25
+
+    @needs_8
+    def test_fleet_pallas_hetero_over_mesh(self, beams60, make_scan):
+        """Heterogeneous fleet sharded over an 8-device mesh: each shard's
+        member_base is traced (axis_index), so every member must still hit
+        ITS OWN map's LUT block and origins."""
+        from monte_carlo_localization_tpu.mapping import (
+            box_world,
+            random_obstacle_world,
+        )
+        from monte_carlo_localization_tpu.parallel import stack_maps
+
+        f = 8
+        maps, poses0, scans = [], [], []
+        for i in range(f):
+            if i % 2 == 0:
+                m = random_obstacle_world(height=64, width=64,
+                                          num_obstacles=5, seed=20 + i)
+                p = np.array([1.6, 1.6, 0.3 * i], np.float32)
+            else:
+                m = box_world(height=64, width=64,
+                              origin=(-1.0 * i, 0.5, 0.0))
+                p = np.array([1.6 - 1.0 * i, 1.7, 0.2], np.float32)
+            maps.append(m)
+            poses0.append(p)
+            scans.append(make_scan(m, p, beams60))
+        bm = stack_maps(maps)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("fleet",))
+        ff = FleetFilter(
+            bm, fleet_size=f,
+            config=MCLConfig(max_particles=128,
+                             raycast_method="lut_pallas"),
+            beam_angles=beams60,
+            mesh=mesh,
+        )
+        assert ff._pallas
+        poses0 = np.stack(poses0)
+        state = ff.init_pose(poses0, seed=3)
+        actions = np.zeros((f, 3), np.float32)
+        scans = np.stack(scans)
+        for _ in range(3):
+            state, poses = ff.step(state, actions, scans)
+        poses = np.asarray(poses)
+        err = np.linalg.norm(poses[:, :2] - poses0[:, :2], axis=1)
+        assert err.max() < 0.3, err
+
     @needs_8
     def test_fleet_pallas_over_mesh(self, beams60, make_scan):
         """1-D fleet mesh + lut_pallas: each shard runs the flattened-fleet
