@@ -385,6 +385,11 @@ def build_lut_query_fn(
         oob = (gx < 0) | (gx >= width) | (gy < 0) | (gy >= height)
         cell = jnp.clip(gy, 0, height - 1) * width + jnp.clip(gx, 0, width - 1)
         if row_map is not None:  # compacted LUT: cell -> LUT row indirection
+            if per_member_maps:
+                raise ValueError(
+                    "row_map (compact LUT) and per_member_maps cannot "
+                    "combine: member offsets assume dense per-member blocks"
+                )
             cell = row_map[cell]
         b0 = jnp.round(particles[:, 2] * (t / (2.0 * math.pi))).astype(jnp.int32)
         b0 = jax.lax.rem(b0 + base, t)

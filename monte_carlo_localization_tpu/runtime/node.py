@@ -226,9 +226,11 @@ class MCLNode:
             and self.downsampled_ranges is not None
         ):
             t_mono = time.monotonic()
-            if self._last_dispatch_mono is not None:
+            if self._last_dispatch_mono is not None and self.odom_initialized:
                 # motion since the LAST DISPATCH, not the last tick: ticks
-                # that only polled must not drop odometry displacement
+                # that only polled must not drop odometry displacement.
+                # Without odometry, keep the caller's action (the decaying
+                # exploration noise of update(), reference :767-772).
                 snap = self.tracker.snapshot()
                 ddt = min(t_mono - self._last_dispatch_mono, 1.0)
                 action = np.array(
