@@ -262,7 +262,10 @@ def build_pallas_likelihood(
         z_rand=cfg.z_rand,
         sigma_hit=cfg.sigma_hit,
         inv_squash=cfg.inv_squash_factor,
-        block=pick_block(num_particles // num_members, cfg.pallas_block),
+        block=pick_block(
+            num_particles // num_members, cfg.pallas_block,
+            total_rows=num_particles,
+        ),
         interpret=jax.default_backend() == "cpu",
         num_members=num_members,
         lut_dtype=dtype,
@@ -469,14 +472,21 @@ class ParticleFilter:
         if cfg.raycast_method == "lut_pallas" and getattr(
             self, "_pallas_query", None
         ) is not None:
-            # time the ACTUAL production kernel, not the XLA lut twin
+            # time the ACTUAL production kernel, not the XLA lut twin.
+            # The LUT (and row map) are passed as jit ARGUMENTS — captured
+            # constants re-embed the multi-GB buffer per compile, which
+            # the axon remote-compile backend rejects (see mcl_step's
+            # likelihood_fn note)
             query, sensor_sm, gmap = self._pallas_query, self.sensor, self.grid_map
             obs_px = sensor_sm.to_pixel_index(obs).astype(jnp.float32)
-            sensor_j = jax.jit(
-                lambda p: query(
-                    gmap.range_lut, p, obs_px, row_map=gmap.lut_row_map
+            if gmap.lut_row_map is not None:
+                kern_j = jax.jit(
+                    lambda lut, rm, p: query(lut, p, obs_px, row_map=rm)
                 )
-            )
+                sensor_j = partial(kern_j, gmap.range_lut, gmap.lut_row_map)
+            else:
+                kern_j = jax.jit(lambda lut, p: query(lut, p, obs_px))
+                sensor_j = partial(kern_j, gmap.range_lut)
         else:
             sensor_j = jax.jit(
                 lambda p: sensor_update(

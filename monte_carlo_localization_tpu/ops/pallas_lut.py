@@ -68,18 +68,30 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def pick_block(num_particles_per_member: int, want: int) -> int:
+def pick_block(
+    num_particles_per_member: int, want: int, total_rows: int | None = None
+) -> int:
     """Largest particles-per-grid-step block <= ``want`` that divides the
-    per-member particle count and satisfies Mosaic's output-block rule
-    (multiple of 8, or the whole array). Measured on v5e at 4000x1080:
-    block 80 beats 16 by ~9% (grid overhead amortization); tiny filters
-    just take the largest divisor."""
+    per-member particle count and satisfies Mosaic's output-block rule:
+    a multiple of 8, or equal to the WHOLE output array (``total_rows`` —
+    for a fleet that is members*npm, so ``b == npm`` only qualifies for a
+    single member). Measured on v5e at 4000x1080: block 80 beats 16 by
+    ~9% (grid overhead amortization); tiny filters just take the largest
+    valid divisor. Raises when no valid block exists (e.g. a multi-member
+    fleet whose per-member count has no multiple-of-8 divisor)."""
     npm = num_particles_per_member
+    total = npm if total_rows is None else total_rows
     want = max(1, min(want, npm))
     for b in range(want, 0, -1):
-        if npm % b == 0 and (b % 8 == 0 or b == npm):
+        if npm % b == 0 and (b % 8 == 0 or b == total):
             return b
-    return npm
+    if npm == total:
+        return npm  # whole-array block (want < npm but nothing else fits)
+    raise ValueError(
+        f"no valid Pallas block for {npm} particles/member in a "
+        f"{total}-particle batch: the per-member count needs a divisor "
+        "that is a multiple of 8 (pick a particle count divisible by 8)"
+    )
 
 
 def suggest_theta_bins(beam_angles: np.ndarray, target: int = 1440) -> int:

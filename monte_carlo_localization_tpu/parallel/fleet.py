@@ -39,9 +39,9 @@ def _validate_parallel_config(
     validation)."""
     if cfg.raycast_method == "lut_pallas" and not allow_pallas:
         raise ValueError(
-            f"{who} supports raycast_method='lut_pallas' only on a shared "
-            "(non-batched) map with a 1-D fleet mesh (fleet_size divisible "
-            "by the mesh) or no mesh; use 'lut'"
+            f"{who} supports raycast_method='lut_pallas' (shared or "
+            "heterogeneous maps) only without a particle mesh axis, and "
+            "with fleet_size divisible over a 1-D fleet mesh; use 'lut'"
         )
     if cfg.raycast_method not in ("sphere", "dda", "lut", "lut_pallas"):
         raise ValueError(f"Unknown raycast method: {cfg.raycast_method!r}")
@@ -339,7 +339,6 @@ class FleetFilter:
             return prop, logw, keys, poses
 
         if mesh is not None:
-            fa = self.fleet_axis
             local_step = jax.shard_map(
                 local_step,
                 mesh=mesh,

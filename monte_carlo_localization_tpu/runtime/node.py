@@ -149,13 +149,22 @@ class MCLNode:
         self.odom_initialized = True
 
     # ----- interactive init (reference clicked_pose/:355-379) -----
+    def _flush_inflight(self) -> None:
+        """Drop queued async corrections: after a re-initialization their
+        poses describe the abandoned belief and must never re-anchor the
+        tracker at it."""
+        self._inflight_q.clear()
+        self._last_dispatch_mono = None
+
     def initialize_pose(self, pose: np.ndarray) -> None:
+        self._flush_inflight()
         self.state = self.filter.init_pose(pose, seed=int(self.rng.integers(2**31)))
         self.tracker.anchor(np.asarray(pose, dtype=np.float64), from_seed=True)
         self.inferred_pose = np.asarray(pose, dtype=np.float64)
         self.log(f"Pose initialized at {np.round(pose, 3)}")
 
     def initialize_global(self) -> None:
+        self._flush_inflight()
         self.state = self.filter.init_global(seed=int(self.rng.integers(2**31)))
         self.tracker.deactivate()
         self.inferred_pose = None
@@ -219,6 +228,12 @@ class MCLNode:
         correction rate from the ~80 ms tunnel round trip that a blocking
         read pays. Dispatch happens BEFORE harvest so the readback
         overlaps the next corrections' compute.
+
+        A tick can harvest several finished corrections; every one is
+        processed (anchor/monitor/stats) and published to the node's
+        sinks except the LAST, which is returned — the caller (e.g.
+        LiveRunner) publishes the returned pose, so each correction
+        reaches the sinks exactly once.
         """
         # ---- dispatch first (if the queue has room) ----
         if (
@@ -241,6 +256,11 @@ class MCLNode:
             self.state, pose_dev = self.filter.step(
                 self.state, action, self.downsampled_ranges
             )
+            # carry this CORRECTION's quality scalar with its pose: it is
+            # ready when the pose is, so the auto-reinit monitor never
+            # blocks on the still-running newer dispatches (reading
+            # self.state.log_quality at harvest time would)
+            q_dev = self.state.log_quality
             try:
                 # start the device->host copy NOW so the round-trip
                 # latency of consecutive readbacks overlaps instead of
@@ -248,32 +268,37 @@ class MCLNode:
                 pose_dev.copy_to_host_async()
             except AttributeError:
                 pass
-            self._inflight_q.append((pose_dev, t_mono))
+            self._inflight_q.append((pose_dev, q_dev, t_mono))
 
         # ---- harvest every finished correction, oldest first ----
         pose = None
         while self._inflight_q:
-            pose_dev, t_disp = self._inflight_q[0]
+            pose_dev, q_dev, t_disp = self._inflight_q[0]
             try:
                 ready = pose_dev.is_ready()
             except AttributeError:  # older jax: no non-blocking probe
                 ready = True
             if not ready and len(self._inflight_q) < self.config.async_depth:
                 break
-            # a full queue blocks on the oldest entry (try_lock analogue:
-            # rather than dropping the tick, we bound the pipeline depth)
+            if pose is not None:
+                # a previous iteration of THIS harvest loop produced a
+                # pose the caller will never see — publish it here so
+                # sinks receive every correction
+                self.publish_correction(now, pose)
             pose = np.asarray(
                 jax.block_until_ready(pose_dev), dtype=np.float64
             )
             self._inflight_q.popleft()
             self.stats.total_mcl_time += (time.monotonic() - t_disp) * 1e3
             self.stats.measurement_count += 1
-            self._post_correction(pose)
+            self._post_correction(pose, log_q=float(q_dev))
         return pose
 
-    def _post_correction(self, pose: np.ndarray) -> None:
+    def _post_correction(self, pose: np.ndarray, log_q: float | None = None) -> None:
         """Anchor refresh + auto-reinit monitor + periodic logging — the
-        tail of the reference's timer_update (:781-827)."""
+        tail of the reference's timer_update (:781-827). ``log_q``
+        overrides the quality fed to the reinit monitor (the async path
+        passes the harvested correction's own scalar)."""
         self.inferred_pose = pose
 
         # anchor refresh with delay compensation (reference :781-807)
@@ -294,7 +319,9 @@ class MCLNode:
         # after the anchor refresh so a triggered re-init (which deactivates
         # the tracker) is not immediately re-anchored at the stale pose
         if self.config.auto_reinit:
-            self._update_reinit_monitor(self.filter.log_quality(self.state))
+            self._update_reinit_monitor(
+                self.filter.log_quality(self.state) if log_q is None else log_q
+            )
 
         if self.iters % 100 == 0:
             self.log(
@@ -525,18 +552,16 @@ class MCLNode:
         ).astype(np.float32)
 
         k = len(st)
-        # pad the tail chunk (repeat the last action/scan) so every
-        # dispatch shares one compiled shape; trim the poses after
-        pad = (-k) % chunk
-        if pad:
-            actions = np.concatenate([actions, np.tile(actions[-1:], (pad, 1))])
-            scans = np.concatenate([scans, np.tile(scans[-1:], (pad, 1))])
-
+        # full chunks share one compiled shape; the remainder runs as one
+        # smaller (separately compiled) tail call rather than padding with
+        # duplicated corrections — padded steps would advance the COMMITTED
+        # state (and any checkpoint) past the real trace
         state = self.state
         pose_chunks = []
+        full_end = k - (k % chunk)  # tail runs outside the steady window
         wall0 = time.perf_counter()
-        warm_wall = None
-        for c0 in range(0, k + pad, chunk):
+        warm_wall = steady_end = None
+        for c0 in range(0, full_end, chunk):
             state, p = self.filter.step_many(
                 state, actions[c0 : c0 + chunk], scans[c0 : c0 + chunk]
             )
@@ -544,13 +569,21 @@ class MCLNode:
             if warm_wall is None:
                 jax.block_until_ready(p)  # first chunk pays the compile
                 warm_wall = time.perf_counter()
+        if pose_chunks:
+            jax.block_until_ready(pose_chunks[-1])
+            steady_end = time.perf_counter()
+        if full_end < k:  # remainder: one smaller, separately-compiled call
+            state, p = self.filter.step_many(
+                state, actions[full_end:], scans[full_end:]
+            )
+            pose_chunks.append(p)
         poses_a = np.concatenate(
             [np.asarray(p) for p in pose_chunks], axis=0
-        )[:k].astype(np.float64)
+        ).astype(np.float64)
         wall = time.perf_counter() - wall0
-        done = k + pad - chunk  # corrections after the warmup chunk
+        done = full_end - min(chunk, full_end)  # after the warmup chunk
         steady = (
-            done / max(time.perf_counter() - warm_wall, 1e-9)
+            done / max(steady_end - warm_wall, 1e-9)
             if done > 0
             else k / max(wall, 1e-9)
         )

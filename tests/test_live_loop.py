@@ -218,3 +218,30 @@ def test_async_ignored_during_replay(clutter_map, beams60, make_scan):
     assert not node._inflight_q
     assert len(res.times) > 10
     assert res.rmse_xy is not None and res.rmse_xy < 0.3
+
+
+def test_async_reinit_flushes_inflight(clutter_map, beams60, make_scan):
+    """A re-initialization must drop queued async corrections: their poses
+    describe the abandoned belief and would re-anchor the tracker at it."""
+    node, true_pose, scan = _make_node(
+        clutter_map, beams60, make_scan, async_correction=True
+    )
+    node.on_scan(scan, beam_angles=beams60)
+    node.update(now=0.1)   # init tick
+    node.update(now=0.12)  # dispatches (possibly harvests)
+    node.update(now=0.14)
+    new_pose = np.array([5.0, 5.0, 1.0], np.float32)
+    node.initialize_pose(new_pose)
+    assert not node._inflight_q, "re-init left stale corrections queued"
+    # the next harvested pose comes from the NEW belief, not the old one
+    for i in range(30):
+        node.on_scan(scan, beam_angles=beams60)
+        p = node.update(now=0.2 + i * 0.02)
+        if p is not None:
+            break
+        time.sleep(0.002)
+    assert p is not None
+    # seeded at new_pose with a static scan from true_pose: the first
+    # correction's cloud is still near the seed, far from the old belief
+    assert np.linalg.norm(p[:2] - new_pose[:2]) < 1.5
+    assert np.linalg.norm(p[:2] - true_pose[:2]) > 2.0

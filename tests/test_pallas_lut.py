@@ -195,6 +195,11 @@ class TestGeometryHelpers:
         assert pick_block(12, 80) == 12  # whole-array block is also legal
         assert pick_block(100, 80) == 100  # no mult-of-8 divisor: whole array
         assert pick_block(100_000, 80) == 80
+        # fleet: b == npm is NOT the whole (members*npm) output array, so a
+        # per-member count with no multiple-of-8 divisor has no valid block
+        with pytest.raises(ValueError, match="multiple of 8"):
+            pick_block(100, 80, total_rows=400)
+        assert pick_block(128, 80, total_rows=512) == 64
 
     def test_window_exceeding_t_rejected(self):
         # tiny T: the beam span no longer fits a single circle row
