@@ -113,3 +113,22 @@ def test_profile_dir_writes_trace(map_yaml, tmp_path, capsys):
     )
     if not wrote:
         pytest.skip("backend does not support jax.profiler traces")
+
+
+def test_baseline_command(map_yaml, tmp_path, capsys):
+    """cli baseline: the measured CPU-reference harness (numpy + native
+    DDA, reference-exact phase stats) replays a trace and reports RMSE +
+    the six TimingStats phases."""
+    trace = str(tmp_path / "t3.npz")
+    assert cli.main(["make-trace", "--map", map_yaml, "--out", trace,
+                     "--duration", "1.5", "--beams", "90"]) == 0
+    capsys.readouterr()
+    out = _run(capsys, [
+        "baseline", "--map", map_yaml, "--trace", trace,
+        "--particles", "200", "--angle-step", "3", "--corrections", "12",
+    ])
+    assert out["engine"] == "cpu_reference"
+    assert out["corrections"] > 5
+    assert out["rmse_xy_m"] < 0.3
+    assert set(out["phase_ms"]) >= {"total", "raycast", "sensor",
+                                    "motion", "resample"}
