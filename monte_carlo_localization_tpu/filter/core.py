@@ -488,18 +488,22 @@ class ParticleFilter:
                 kern_j = jax.jit(lambda lut, p: query(lut, p, obs_px))
                 sensor_j = partial(kern_j, gmap.range_lut)
         else:
-            sensor_j = jax.jit(
-                lambda p: sensor_update(
+            # the map is a jit ARGUMENT, as in the production step — a
+            # captured constant embeds e.g. the 'lut' backend's multi-GB
+            # range LUT per compile (rejected by remote-compile backends)
+            sense_j = jax.jit(
+                lambda gmap, p: sensor_update(
                     p,
                     obs,
                     self.beam_angles,
-                    self.grid_map,
+                    gmap,
                     self.sensor,
                     raycast_method=cfg.raycast_method,
                     sphere_march_iters=cfg.sphere_march_iters,
                     sensor_mode=cfg.sensor_model_mode,
                 )
             )
+            sensor_j = partial(sense_j, self.grid_map)
 
         def timed(fn, *a, attr, stats):
             out = fn(*a)
@@ -522,8 +526,6 @@ class ParticleFilter:
         prop = timed(motion_j, k2, prop, attr="motion_model_time", stats=stats)
         timed(sensor_j, prop, attr="sensor_model_time", stats=stats)
 
-        full = jax.jit(lambda s: self._step(s, action, obs, self.beam_angles,
-                                            self.grid_map, self.sensor))
         # time the fused step without donation effects: rebuild state copies
         s0 = MCLState(
             particles=jnp.array(state.particles),

@@ -75,11 +75,18 @@ def motion_model(
     x_straight = x + ds * jnp.cos(theta)
     y_straight = y + ds * jnp.sin(theta)
 
-    # Arc branch (reference :483-490): radius = v/omega = ds/dtheta
+    # Arc branch (reference :483-490): radius = v/omega = ds/dtheta.
+    # Written via the identity sin(t+d)-sin(t) = 2 sin(d/2) cos(t+d/2)
+    # (and the cosine twin): algebraically identical to the reference's
+    # radius*(sin(t+d)-sin(t)), but f32-stable — the naive difference
+    # cancels catastrophically for tiny d and the error is then amplified
+    # by radius = ds/d. The chord length ds*2sin(d/2)/d also tends to the
+    # straight-line update as d -> 0.
     safe_dtheta = jnp.where(jnp.abs(dtheta) < 1e-12, 1.0, dtheta)
-    radius = ds / safe_dtheta
-    x_arc = x + radius * (jnp.sin(theta + dtheta) - jnp.sin(theta))
-    y_arc = y - radius * (jnp.cos(theta + dtheta) - jnp.cos(theta))
+    chord = ds * (2.0 * jnp.sin(dtheta / 2.0) / safe_dtheta)
+    mid = theta + dtheta / 2.0
+    x_arc = x + chord * jnp.cos(mid)
+    y_arc = y + chord * jnp.sin(mid)
 
     straight = jnp.abs(omega_for_branch) < 1e-6
     new_x = jnp.where(straight, x_straight, x_arc)

@@ -114,13 +114,17 @@ class SensorModel:
         The reference first clips the FLOAT px value at max_range_px, then
         rounds — so e.g. 240.4 px clips to 240 before rounding. NaN/inf
         scan returns (real lidar emits them) clip to the max bin.
+        Rounding is floor(x + 0.5): half-away-from-zero on these
+        non-negative values, matching the reference's std::round/roundf
+        (jnp.round is half-to-EVEN, which puts exact half-pixel ranges in
+        a different bin than the C++ node).
         """
         px = ranges_m / self.resolution
         px = jnp.nan_to_num(
             px, nan=float(self.max_range_px), posinf=float(self.max_range_px), neginf=0.0
         )
         px = jnp.clip(px, 0.0, float(self.max_range_px))
-        return jnp.round(px).astype(jnp.int32)
+        return jnp.floor(px + 0.5).astype(jnp.int32)
 
     def log_likelihood(
         self,

@@ -173,8 +173,8 @@ def cast_rays_lut(grid_map: GridMap, queries: jnp.ndarray) -> jnp.ndarray:
     oob = (gx < 0) | (gx >= w) | (gy < 0) | (gy >= h)
     ang = queries[:, 2]
     # bin = round(theta / (2*pi/T)) mod T, branch-free for any angle
+    # jnp's % is floor-mod (unlike lax.rem): already in [0, t) for any sign
     b = jnp.round(ang * (t / (2.0 * jnp.pi))).astype(jnp.int32) % t
-    b = jnp.where(b < 0, b + t, b)
     cell = jnp.clip(gy, 0, h - 1) * w + jnp.clip(gx, 0, w - 1)
     if grid_map.lut_row_map is not None:  # compacted LUT (giant maps)
         cell = grid_map.lut_row_map[cell]
@@ -213,8 +213,8 @@ def lut_expected_px(
     if grid_map.lut_row_map is not None:  # compacted LUT (giant maps)
         cell = grid_map.lut_row_map[cell]
     ang = particles[:, 2:3] + beam_angles[None, :]
+    # jnp's % is floor-mod (unlike lax.rem): already in [0, t) for any sign
     b = jnp.round(ang * (t / (2.0 * jnp.pi))).astype(jnp.int32) % t
-    b = jnp.where(b < 0, b + t, b)
     row_stride = grid_map.lut_row_stride or t
     # 2-D (cell, bin) indexing avoids int32 flat-offset overflow at
     # Spielberg-scale H*W*stride (see cast_rays_lut)

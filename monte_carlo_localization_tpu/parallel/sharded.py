@@ -187,6 +187,12 @@ class ShardedParticleFilter:
                     sphere_march_iters=cfg.sphere_march_iters,
                     sensor_mode=cfg.sensor_model_mode,
                 )
+            # absolute measurement quality BEFORE the max shift: the global
+            # log mean likelihood (Augmented-MCL w_avg), via a distributed
+            # logsumexp — matches ParticleFilter's log_quality signal
+            mq = jax.lax.pmax(jnp.max(log_w_new), axis)
+            zq = jax.lax.psum(jnp.sum(jnp.exp(log_w_new - mq)), axis)
+            log_quality = mq + jnp.log(zq) - jnp.log(float(n_total))
             log_w_new = log_w_new - jax.lax.pmax(jnp.max(log_w_new), axis)
 
             # ---- pose estimate (global) ----
@@ -199,7 +205,7 @@ class ShardedParticleFilter:
             pc = jax.lax.psum(jnp.sum(wn * jnp.cos(proposal[:, 2])), axis)
             pose = jnp.stack([px, py, jnp.arctan2(ps, pc)])
 
-            return proposal, log_w_new, key, pose
+            return proposal, log_w_new, key, pose, log_quality
 
         mesh = self.mesh
         pspec = P(axis)
@@ -209,19 +215,27 @@ class ShardedParticleFilter:
             local_step,
             mesh=mesh,
             in_specs=(pspec, pspec, rspec, rspec, rspec, rspec, rspec, rspec),
-            out_specs=(pspec, pspec, rspec, rspec),
+            out_specs=(pspec, pspec, rspec, rspec, rspec),
             check_vma=False,
         )
 
         def step(state: MCLState, action, scan, beams, gmap, sensor):
-            particles, log_w, key, pose = sharded(
+            particles, log_w, key, pose, log_q = sharded(
                 state.particles, state.log_weights, state.key, action, scan,
                 beams, gmap, sensor,
             )
             # every shard returns the same key evolution; keep shard 0's
-            return MCLState(particles=particles, log_weights=log_w, key=key), pose
+            return MCLState(
+                particles=particles, log_weights=log_w, key=key,
+                log_quality=log_q.astype(jnp.float32),
+            ), pose
 
         self._step = jax.jit(step, donate_argnums=(0,))
+
+    def log_quality(self, state: MCLState) -> float:
+        """Global log mean measurement likelihood of the latest correction
+        (Augmented-MCL w_avg) — same contract as ParticleFilter.log_quality."""
+        return float(state.log_quality)
 
     def init_global(self, seed: int = 0) -> MCLState:
         key = jax.random.key(seed)

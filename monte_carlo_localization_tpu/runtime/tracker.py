@@ -49,6 +49,9 @@ class OdometryTracker:
         self._odom_pose: np.ndarray | None = None  # dead-reckoned map-frame pose
         self._reference_pose = np.zeros(3)  # map-frame anchor (last correction)
         self._reference_odom = np.zeros(3)  # odom-frame pose at anchor time
+        # anchor() ran before any odometry: the delta baseline is taken
+        # from the FIRST message instead of the zeroed placeholder
+        self._reference_odom_pending = False
         self._last_odom_pose: np.ndarray | None = None
         self._last_stamp: float | None = None
         self.velocity = 0.0
@@ -69,6 +72,13 @@ class OdometryTracker:
             self.angular_velocity = float(angular_velocity)
             current = np.array([x, y, theta], dtype=np.float64)
             if self.active:
+                if self._reference_odom_pending:
+                    # anchored before any odometry arrived: baseline the
+                    # delta at THIS first message (delta = 0), otherwise
+                    # the raw odom-frame pose would be applied as an
+                    # offset and the published pose would jump
+                    self._reference_odom = current.copy()
+                    self._reference_odom_pending = False
                 # raw additive delta, no frame rotation (reference :1004-1013)
                 self._odom_pose = self._reference_pose + (
                     current - self._reference_odom
@@ -100,6 +110,9 @@ class OdometryTracker:
             self._reference_pose = pose
             if self._last_odom_pose is not None:
                 self._reference_odom = self._last_odom_pose.copy()
+                self._reference_odom_pending = False
+            else:
+                self._reference_odom_pending = True
             self._odom_pose = pose.copy()
             if from_seed:
                 self.pose_initialized_from_seed = True
@@ -131,7 +144,8 @@ class OdometryTracker:
         inferred_pose: np.ndarray | None,
         particle_mean: np.ndarray | None = None,
     ) -> np.ndarray:
-        """4-priority fallback: tracked -> MCL -> particle mean -> last odom -> origin."""
+        """Pose priority chain (reference's 4 gated fallbacks + the origin
+        default): tracked -> MCL -> particle mean -> last odom -> origin."""
         snap = self.snapshot()
         if (
             self.active
