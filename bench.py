@@ -336,7 +336,9 @@ def main(argv=None) -> int:
             sub.config, sub.all = n, False
             if args.no_watchdog:
                 try:
-                    print(json.dumps(run_config(n, quick=args.quick)))
+                    print(json.dumps(run_config(
+                        n, quick=args.quick, method=args.method,
+                    )))
                 except Exception as e:  # keep going; report the failure
                     print(f"# config {n} failed: {e}", file=sys.stderr)
                     rc = 1

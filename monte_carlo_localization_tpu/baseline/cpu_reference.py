@@ -31,6 +31,7 @@ from monte_carlo_localization_tpu.config import MCLConfig
 from monte_carlo_localization_tpu.mapping.grid_map import GridMap
 from monte_carlo_localization_tpu.models.sensor import build_sensor_table
 from monte_carlo_localization_tpu.runtime.trace import HostRaycaster, Trace
+from monte_carlo_localization_tpu.utils.geometry import trajectory_rmse  # noqa: F401 - re-exported API
 from monte_carlo_localization_tpu.utils.timing import Stopwatch, TimingStats
 
 
@@ -234,16 +235,3 @@ def replay_cpu_reference(
     wall = _time.perf_counter() - wall0
     ups = len(times) / wall if wall > 0 else 0.0
     return np.asarray(times), np.asarray(poses), f.stats, ups
-
-
-def trajectory_rmse(times, poses, truth_t, truth_pose):
-    """Pose RMSE (xy meters, theta rad) vs interpolated ground truth."""
-    tp = np.stack(
-        [np.interp(times, truth_t, truth_pose[:, i]) for i in range(3)], axis=1
-    )
-    err = poses[:, :2] - tp[:, :2]
-    rmse_xy = float(np.sqrt((err**2).sum(axis=1).mean()))
-    dth = np.arctan2(
-        np.sin(poses[:, 2] - tp[:, 2]), np.cos(poses[:, 2] - tp[:, 2])
-    )
-    return rmse_xy, float(np.sqrt((dth**2).mean()))

@@ -71,9 +71,9 @@ def cmd_make_trace(args) -> int:
         seed=args.seed,
         speed=args.speed,
     )
-    trace.save(args.out)
+    written = trace.save(args.out)
     print(
-        f"wrote {args.out}: {trace.scan_ranges.shape[0]} scans x "
+        f"wrote {written}: {trace.scan_ranges.shape[0]} scans x "
         f"{trace.num_beams} beams, {len(trace.odom_t)} odom msgs, "
         f"{trace.duration:.1f}s sim ({time.perf_counter() - t0:.1f}s wall)"
     )

@@ -113,6 +113,8 @@ class GridMap:
             and self.lut_theta_bins == t
             and (self.lut_row_stride or t) == stride
         ):
+            # an already-attached LUT (dense OR compact — the query paths
+            # follow lut_row_map) with matching geometry is reused as-is
             return self
         h, w = self.occupancy.shape[-2:]
         if h * w * stride > np.iinfo(np.int64).max // 4:
@@ -151,6 +153,7 @@ class GridMap:
             return dataclasses.replace(
                 self,
                 range_lut=lut,
+                lut_row_map=None,  # dense LUT: drop any stale compact map
                 lut_theta_bins=t,
                 lut_row_stride=stride if stride != t else 0,
             )
@@ -178,6 +181,7 @@ class GridMap:
         return dataclasses.replace(
             self,
             range_lut=jnp.asarray(lut),
+            lut_row_map=None,  # dense LUT: drop any stale compact map
             lut_theta_bins=t,
             lut_row_stride=stride if stride != t else 0,
         )

@@ -27,20 +27,9 @@ import jax.numpy as jnp
 
 
 def _group_bins(t_bins: int):
-    """Split bin indices into 4 static groups: (row/col major, sp +/-)."""
-    thetas = 2.0 * np.pi * np.arange(t_bins) / t_bins
-    c, s = np.cos(thetas), np.sin(thetas)
-    row_major = np.abs(s) >= np.abs(c)
-    sp = np.where(row_major, np.sign(s), np.sign(c)).astype(np.int64)
-    sp[sp == 0] = 1
-    groups = {}
-    for rm in (True, False):
-        for d in (1, -1):
-            idx = np.nonzero(row_major == rm)[0]
-            idx = idx[sp[idx] == d]
-            if len(idx):
-                groups[(rm, d)] = idx
-    return groups, c, s
+    """Split bin indices into 4 static groups: (row/col major, sp +/-).
+    Identical to ``_group_bins_padded(t, t)`` (no wraparound tail)."""
+    return _group_bins_padded(t_bins, t_bins)
 
 
 def _sweep_group(occ_p: jnp.ndarray, rel: np.ndarray, step_len: np.ndarray,

@@ -53,6 +53,9 @@ def save_state(
         arrays["tracker_from_seed"] = np.asarray(
             tracker.pose_initialized_from_seed
         )
+        arrays["tracker_ref_odom_pending"] = np.asarray(
+            tracker._reference_odom_pending
+        )
         if snap.pose is not None:
             arrays["tracker_pose"] = snap.pose
         if snap.last_odom_pose is not None:
@@ -98,6 +101,14 @@ def load_state(path: str | Path, tracker=None):
                 tracker.angular_velocity = float(z["tracker_angular_velocity"])
             if "tracker_from_seed" in z:
                 tracker.pose_initialized_from_seed = bool(z["tracker_from_seed"])
+            if "tracker_ref_odom_pending" in z:
+                tracker._reference_odom_pending = bool(
+                    z["tracker_ref_odom_pending"]
+                )
+            elif tracker.active and "tracker_last_odom" not in z:
+                # older checkpoint anchored before any odometry: rebase the
+                # delta at the first post-resume message
+                tracker._reference_odom_pending = True
             if "tracker_pose" in z:
                 tracker._odom_pose = z["tracker_pose"].copy()
             if "tracker_last_odom" in z:

@@ -45,6 +45,7 @@ class LiveRunner:
         self.ticks = 0
         self.corrections = 0
         self.skipped = 0
+        self.error: BaseException | None = None  # re-raised by stop()
 
     def start(self) -> "LiveRunner":
         if self._thread is not None:
@@ -59,6 +60,11 @@ class LiveRunner:
         if self._thread is not None:
             self._thread.join(timeout)
             self._thread = None
+        if self.error is not None:
+            # a scheduler-thread failure must not look like a clean run
+            # with zero corrections — surface it to the caller
+            err, self.error = self.error, None
+            raise RuntimeError("LiveRunner scheduler thread failed") from err
 
     def __enter__(self) -> "LiveRunner":
         return self.start()
@@ -67,6 +73,12 @@ class LiveRunner:
         self.stop()
 
     def _run(self) -> None:
+        try:
+            self._run_loop()
+        except BaseException as e:  # noqa: BLE001 - stored, re-raised in stop()
+            self.error = e
+
+    def _run_loop(self) -> None:
         next_t = time.monotonic()
         while not self._stop.is_set():
             now = time.monotonic()

@@ -40,7 +40,10 @@ from monte_carlo_localization_tpu.mapping.grid_map import GridMap
 from monte_carlo_localization_tpu.runtime.sinks import Sink
 from monte_carlo_localization_tpu.runtime.tracker import OdometryTracker
 from monte_carlo_localization_tpu.runtime.trace import Trace, TraceReader
-from monte_carlo_localization_tpu.utils.geometry import apply_vehicle_offset
+from monte_carlo_localization_tpu.utils.geometry import (
+    apply_vehicle_offset,
+    trajectory_rmse,
+)
 from monte_carlo_localization_tpu.utils.timing import Stopwatch, TimingStats
 from monte_carlo_localization_tpu.utils.validation import is_pose_valid
 
@@ -408,10 +411,13 @@ class MCLNode:
         (reference visualize :923-983), gated on ``viz`` and sink demand."""
         if not self.sinks or not self.config.viz:
             return
-        if self._wants("pose"):
-            self._publish("pose", t, {"pose": np.asarray(pose)})
+        # particles BEFORE pose: VizSink renders a frame on the pose event
+        # using the latest cloud, so this order pairs correction k's pose
+        # with correction k's cloud (not k-1's)
         if self._wants("particles"):
             self._publish("particles", t, {"cloud": self.particle_cloud()})
+        if self._wants("pose"):
+            self._publish("pose", t, {"pose": np.asarray(pose)})
 
     # ----- outputs (reference :857-983) -----
     def current_pose(self) -> np.ndarray:
@@ -493,19 +499,9 @@ class MCLNode:
         tracked_a = np.asarray(tracked).reshape(-1, 3)
         rmse_xy = rmse_th = None
         if trace.truth_t is not None and len(times_a):
-            tp = np.stack(
-                [
-                    np.interp(times_a, trace.truth_t, trace.truth_pose[:, i])
-                    for i in range(3)
-                ],
-                axis=1,
+            rmse_xy, rmse_th = trajectory_rmse(
+                times_a, poses_a, trace.truth_t, trace.truth_pose
             )
-            err = poses_a[:, :2] - tp[:, :2]
-            rmse_xy = float(np.sqrt((err**2).sum(axis=1).mean()))
-            dth = np.arctan2(
-                np.sin(poses_a[:, 2] - tp[:, 2]), np.cos(poses_a[:, 2] - tp[:, 2])
-            )
-            rmse_th = float(np.sqrt((dth**2).mean()))
         return ReplayResult(
             times=times_a,
             poses=poses_a,
@@ -595,20 +591,9 @@ class MCLNode:
 
         rmse_xy = rmse_th = None
         if trace.truth_t is not None:
-            tp = np.stack(
-                [
-                    np.interp(st, trace.truth_t, trace.truth_pose[:, i])
-                    for i in range(3)
-                ],
-                axis=1,
+            rmse_xy, rmse_th = trajectory_rmse(
+                st, poses_a, trace.truth_t, trace.truth_pose
             )
-            err = poses_a[:, :2] - tp[:, :2]
-            rmse_xy = float(np.sqrt((err**2).sum(axis=1).mean()))
-            dth = np.arctan2(
-                np.sin(poses_a[:, 2] - tp[:, 2]),
-                np.cos(poses_a[:, 2] - tp[:, 2]),
-            )
-            rmse_th = float(np.sqrt((dth**2).mean()))
         return ReplayResult(
             times=st,
             poses=poses_a,

@@ -104,7 +104,7 @@ def fill_occupancy_grid(msg, gm: GridMap) -> None:
     msg.info.origin.orientation.y = qy
     msg.info.origin.orientation.z = qz
     msg.info.origin.orientation.w = qw
-    msg.data = [int(v) for v in occ.reshape(-1)]
+    msg.data = occ.reshape(-1).astype(np.int8).tolist()
 
 
 def scan_to_arrays(msg) -> tuple[np.ndarray, float, float]:
@@ -172,6 +172,7 @@ class ROS2Bridge:
         self.config = config or MCLConfig()
         self.node = MCLNode(grid_map, self.config)
         self.ros_node = Node(node_name)
+        self._map_msg = None  # OccupancyGrid built once, stamped per tick
         self._msg = dict(
             PoseStamped=PoseStamped,
             PoseArray=PoseArray,
@@ -281,10 +282,17 @@ class ROS2Bridge:
         self.pub_particles.publish(pa)
 
     def _publish_map(self) -> None:
-        og = self._msg["OccupancyGrid"]()
+        # the grid payload is filled ONCE and cached: rebuilding the data
+        # list per 5 Hz tick converts millions of cells on the executor
+        # thread for big maps (Spielberg: ~4M), starving the MCL timer and
+        # scan/odom callbacks; only the stamp is refreshed per republish
+        og = self._map_msg
+        if og is None:
+            og = self._msg["OccupancyGrid"]()
+            og.header.frame_id = MAP_FRAME
+            fill_occupancy_grid(og, self.node.map)
+            self._map_msg = og
         og.header.stamp = self._stamp()
-        og.header.frame_id = MAP_FRAME
-        fill_occupancy_grid(og, self.node.map)
         self.pub_map.publish(og)
 
 

@@ -94,10 +94,22 @@ class NpzSink(Sink):
     def close(self) -> None:
         arrays = {}
         for k, vals in self._buf.items():
+            vs = [np.asarray(v) for v in vals]
             try:
-                arrays[k] = np.stack([np.asarray(v) for v in vals])
-            except ValueError:  # ragged (e.g. particles resized) -> object-free pad
-                arrays[k] = np.asarray(vals[-1])
+                arrays[k] = np.stack(vs)
+            except ValueError:
+                # ragged leading dim (e.g. the viz cloud resized mid-run):
+                # NaN-pad to the max length and record per-event lengths so
+                # nothing is dropped and <topic>_t stays aligned
+                n = max(v.shape[0] for v in vs)
+                tail = vs[0].shape[1:]
+                pad = np.full((len(vs), n, *tail), np.nan, dtype=np.float64)
+                for i, v in enumerate(vs):
+                    pad[i, : v.shape[0]] = v
+                arrays[k] = pad
+                arrays[k + "_len"] = np.asarray(
+                    [v.shape[0] for v in vs], np.int64
+                )
         tmp = self.path.with_name(self.path.name + ".tmp.npz")
         np.savez_compressed(tmp, **arrays)
         tmp.replace(self.path)

@@ -50,7 +50,13 @@ class Trace:
                 self.scan_t[-1] if len(self.scan_t) else 0.0)
         )
 
-    def save(self, path: str | Path) -> None:
+    def save(self, path: str | Path) -> Path:
+        """Write the trace; returns the ACTUAL path written (np.savez
+        appends .npz to suffix-less paths, so `--out foo` lands at
+        foo.npz — callers must report/consume the returned path)."""
+        path = Path(path)
+        if path.suffix != ".npz":
+            path = path.with_name(path.name + ".npz")
         arrays = dict(
             odom_t=self.odom_t,
             odom_pose=self.odom_pose,
@@ -64,6 +70,7 @@ class Trace:
             arrays["truth_t"] = self.truth_t
             arrays["truth_pose"] = self.truth_pose
         np.savez_compressed(path, **arrays)
+        return path
 
     @classmethod
     def load(cls, path: str | Path) -> "Trace":

@@ -62,3 +62,24 @@ def apply_vehicle_offset(pose, forward_offset: float):
         out[..., 1] = pose[..., 1] - dy
         return out
     return pose.at[..., 0].add(-dx).at[..., 1].add(-dy)
+
+
+def trajectory_rmse(times, poses, truth_t, truth_pose):
+    """Pose RMSE (xy meters, theta rad) vs ground truth interpolated onto
+    ``times``; heading error is wrapped via atan2. Shared by the replay
+    engines and the CPU baseline harness so every engine reports RMSE with
+    identical interpolation/wrapping."""
+    import numpy as np
+
+    times = np.asarray(times, np.float64)
+    poses = np.asarray(poses, np.float64).reshape(-1, 3)
+    tp = np.stack(
+        [np.interp(times, truth_t, truth_pose[:, i]) for i in range(3)],
+        axis=1,
+    )
+    err = poses[:, :2] - tp[:, :2]
+    rmse_xy = float(np.sqrt((err**2).sum(axis=1).mean()))
+    dth = np.arctan2(
+        np.sin(poses[:, 2] - tp[:, 2]), np.cos(poses[:, 2] - tp[:, 2])
+    )
+    return rmse_xy, float(np.sqrt((dth**2).mean()))
