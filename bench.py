@@ -53,7 +53,13 @@ CONFIG_MAPS = {
     2: "sibal1.yaml",
     3: "Spielberg_map.yaml",
     4: "basement_fixed.map.yaml",
-    5: "sibal1.yaml",
+    # config #5 is "64 cars vmapped across MULTIPLE maps" (BASELINE.json):
+    # four real maps, 16 cars each, sharing 4 LUT blocks via
+    # map_assignment. (sibal1/redbull_1 use the f32-fuzzed 0.05000000075
+    # resolution whose max_range_px truncates to 239, not 240 — stackable
+    # maps must share BOTH, so the exact-0.05 group is used.)
+    5: ["map_1753950572.yaml", "icra_2_clean.yaml", "first_map.yaml",
+        "new_map1.yaml"],
 }
 
 
@@ -154,19 +160,33 @@ def bench_updates(num_particles, num_beams, gm, method="lut_pallas",
     return chained, dispatch
 
 
-def bench_fleet(fleet_size, num_particles, num_beams, gm, method="lut",
+def bench_fleet(fleet_size, num_particles, num_beams, maps, method="lut",
                 warmup=2, iters=20, quick=False):
-    """Vmapped fleet: returns fleet-steps/sec (each = fleet_size updates)."""
+    """Fleet across MULTIPLE maps (BASELINE.json config #5): members share
+    each circuit's LUT block via map_assignment. Returns fleet-steps/sec
+    (each = fleet_size member updates)."""
     import jax
+    import jax.numpy as jnp
 
     from monte_carlo_localization_tpu.config import MCLConfig
-    from monte_carlo_localization_tpu.parallel import FleetFilter
+    from monte_carlo_localization_tpu.ops.raycast import cast_rays_sphere
+    from monte_carlo_localization_tpu.parallel import FleetFilter, stack_maps
 
     if quick:
         warmup, iters = 1, 5
     beams = _beams(num_beams)
+    if not isinstance(maps, (list, tuple)):
+        maps = [maps]
+    if method != "lut_pallas" and len(maps) > 1:
+        # map sharing (map_assignment) needs the fused kernel; the XLA
+        # fallback would duplicate every member's LUT — degrade to the
+        # first map so the watchdog fallback still records a number
+        print("# bench: fleet fallback runs on ONE shared map", file=sys.stderr)
+        maps = maps[:1]
+    bm = stack_maps(maps) if len(maps) > 1 else maps[0]
+    asg = np.arange(fleet_size, dtype=np.int32) % len(maps)
     ff = FleetFilter(
-        gm,
+        bm,
         fleet_size=fleet_size,
         config=MCLConfig(
             max_particles=num_particles,
@@ -174,19 +194,36 @@ def bench_fleet(fleet_size, num_particles, num_beams, gm, method="lut",
             lut_theta_bins=720,
         ),
         beam_angles=beams,
+        map_assignment=asg if len(maps) > 1 else None,
     )
-    pose = _nearest_free_pose(gm, _center_pose(gm))
-    state = ff.init_pose(np.tile(pose, (fleet_size, 1)), seed=1)
-    scan = np.full((fleet_size, num_beams), 4.0, np.float32)
+    # each car sits at its own map's best-cleared pose with a real scan
+    map_poses = [_nearest_free_pose(m, _center_pose(m)) for m in maps]
+    map_scans = []
+    for m, p in zip(maps, map_poses):
+        q = np.stack(
+            [np.full(num_beams, p[0]), np.full(num_beams, p[1]),
+             p[2] + beams], 1,
+        ).astype(np.float32)
+        map_scans.append(
+            np.asarray(cast_rays_sphere(m, jnp.asarray(q), num_iters=64))
+        )
+    poses0 = np.stack([map_poses[a] for a in asg])
+    scans = np.stack([map_scans[a] for a in asg])
+    state = ff.init_pose(poses0, seed=1)
     actions = np.zeros((fleet_size, 3), np.float32)
     for _ in range(warmup):
-        state, poses = ff.step(state, actions, scan)
+        state, poses = ff.step(state, actions, scans)
     jax.block_until_ready(poses)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, poses = ff.step(state, actions, scan)
+        state, poses = ff.step(state, actions, scans)
     jax.block_until_ready(poses)
-    return iters / (time.perf_counter() - t0)
+    dt = time.perf_counter() - t0
+    err = np.linalg.norm(np.asarray(poses)[:, :2] - poses0[:, :2], axis=1)
+    assert np.isfinite(err).all() and err.max() < 1.0, (
+        f"fleet diverged: max err {err.max()}"
+    )
+    return iters / dt
 
 
 CONFIGS = {
@@ -209,13 +246,19 @@ CONFIGS = {
             note="config#4: basement_fixed, 100k-particle global localization"),
     5: dict(kind="fleet", fleet=64, particles=4000, beams=60,
             method="lut_pallas", timeout=1200.0,  # flattened-fleet fused kernel
-            note="config#5: 64-car fleet x 4000 particles, sibal1"),
+            note="config#5: 64-car fleet x 4000 particles over 4 maps "
+                 "(map_1753950572/icra_2_clean/first_map/new_map1)"),
 }
 
 
 def run_config(n, quick=False, method=None):
     c = CONFIGS[n]
-    gm = _load_real_map(CONFIG_MAPS[n])
+    spec = CONFIG_MAPS[n]
+    gm = (
+        [_load_real_map(y) for y in spec]
+        if isinstance(spec, list)
+        else _load_real_map(spec)
+    )
     m = method or c.get("method", "lut_pallas")
     if c["kind"] == "single":
         chained, dispatch = bench_updates(

@@ -229,7 +229,19 @@ def build_pallas_likelihood(
         # builder for u16 (long-range) maps
         grid_map = grid_map.with_compact_range_lut(t, stride)
     else:
-        grid_map = grid_map.with_range_lut(t, row_stride=stride)
+        # multi-map fleets build on the HOST (native C++, disk-cached):
+        # the on-device builder would compile a fresh giant sweep program
+        # for the padded common shape — minutes per cold compile and
+        # enough memory to OOM a remote compile service
+        if num_maps == 1:
+            grid_map = grid_map.with_range_lut(t, row_stride=stride)
+        else:
+            try:
+                grid_map = grid_map.with_range_lut(
+                    t, row_stride=stride, backend="native"
+                )
+            except Exception:  # no g++: fall back to the default chain
+                grid_map = grid_map.with_range_lut(t, row_stride=stride)
     if num_maps > 1:
         from monte_carlo_localization_tpu.ops.pallas_lut import (
             entries_per_subrow,

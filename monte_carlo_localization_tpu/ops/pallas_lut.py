@@ -381,13 +381,19 @@ def build_lut_query_fn(
     member_subrows = height * width * (row_stride // eps)
 
     def query(lut_flat, particles, obs_px, row_map=None, member_base=0,
-              origins=None):
+              origins=None, map_of=None):
+        """``map_of`` (optional, per_member_maps): (F_total,) int32 member
+        -> LUT-block/origin index, letting many members SHARE one map's
+        LUT block (e.g. 64 cars over 4 circuits stores 4 LUTs, not 64).
+        Default: identity (one block per member)."""
         if per_member_maps:
             if origins is None:
                 raise ValueError(
-                    "per_member_maps query needs origins=(ox (F,), oy (F,))"
+                    "per_member_maps query needs origins=(ox (M,), oy (M,))"
                 )
             mi = member_base + jnp.asarray(member_of)
+            if map_of is not None:
+                mi = jnp.asarray(map_of, jnp.int32)[mi]
             ox = origins[0][mi]
             oy = origins[1][mi]
         else:
@@ -411,8 +417,8 @@ def build_lut_query_fn(
         # stays < 2^31 for any map whose LUT fits in memory, unlike the
         # flat byte offset cell*stride (int32 overflow at ~0.7M cells)
         y0 = cell * (row_stride // eps) + b0 // eps
-        if per_member_maps:  # offset into this particle's member LUT block
-            y0 = y0 + (member_base + jnp.asarray(member_of)) * member_subrows
+        if per_member_maps:  # offset into this particle's map's LUT block
+            y0 = y0 + mi * member_subrows
         y0 = jnp.where(oob, 0, y0)
 
         # observed px spread to the rotated-window lane layout (tiny gather)

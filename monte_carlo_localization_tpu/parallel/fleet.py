@@ -82,8 +82,11 @@ def stack_maps(maps: Sequence[GridMap]) -> GridMap:
     for m in maps:
         if abs(m.resolution - res) > 1e-9 or m.max_range_px != mrp:
             raise ValueError(
-                "fleet maps must share resolution and max_range "
-                f"({m.name}: {m.resolution} vs {res})"
+                "fleet maps must share resolution and max_range_px "
+                f"({m.name}: res {m.resolution} vs {res}, max_range_px "
+                f"{m.max_range_px} vs {mrp} — note an f32-fuzzed "
+                "resolution like 0.05000000075 truncates max_range_px "
+                "differently than exact 0.05)"
             )
     h = max(m.height for m in maps)
     w = max(m.width for m in maps)
@@ -147,11 +150,18 @@ class FleetFilter:
         mesh: Mesh | None = None,
         fleet_axis: str = "fleet",
         particle_axis: str | None = None,
+        map_assignment: np.ndarray | None = None,
     ):
         """With ``particle_axis`` set (2-D mesh), each member's particle
         axis is additionally sharded — XLA inserts the resampling gathers
         (the pjit path; the explicit-collectives path is
-        ShardedParticleFilter)."""
+        ShardedParticleFilter).
+
+        ``map_assignment`` (F,) int: member -> map index into a stacked
+        ``grid_map`` of M maps, letting many cars share each circuit's
+        LUT (64 cars over 4 maps stores 4 LUT blocks, not 64). Requires
+        ``raycast_method='lut_pallas'`` (the XLA paths vmap the map per
+        member and would duplicate it)."""
         self.config = config or MCLConfig()
         # the fused Pallas kernel serves the fleet as one big flattened
         # particle batch with per-member scans (obs blocks indexed by
@@ -170,6 +180,30 @@ class FleetFilter:
         _validate_parallel_config(
             self.config, "FleetFilter", allow_pallas=pallas_ok
         )
+        self.map_assignment = None
+        if map_assignment is not None:
+            asg = np.asarray(map_assignment, np.int32)
+            if not (pallas_ok and is_batched_map(grid_map)):
+                raise ValueError(
+                    "map_assignment requires raycast_method='lut_pallas' "
+                    "and a stacked (batched) grid_map"
+                )
+            if asg.shape != (fleet_size,):
+                raise ValueError(
+                    f"map_assignment must be ({fleet_size},), got {asg.shape}"
+                )
+            num_maps = grid_map.occupancy.shape[0]
+            if asg.min() < 0 or asg.max() >= num_maps:
+                raise ValueError(
+                    f"map_assignment values must be in [0, {num_maps})"
+                )
+            self.map_assignment = asg
+        elif is_batched_map(grid_map) and grid_map.occupancy.shape[0] != fleet_size:
+            raise ValueError(
+                f"stacked grid_map has {grid_map.occupancy.shape[0]} maps "
+                f"for fleet_size={fleet_size}; pass map_assignment to share "
+                "maps between members"
+            )
         self.map = grid_map
         self.fleet_size = fleet_size
         self.sensor = SensorModel.create(
@@ -284,6 +318,11 @@ class FleetFilter:
                     break
         self._members_per_call = mpc
         hetero = is_batched_map(self.map)
+        map_of = (
+            None
+            if self.map_assignment is None
+            else jnp.asarray(self.map_assignment)
+        )
         self.map, query = build_pallas_likelihood(
             self.map, np.asarray(self.beam_angles), cfg, mpc * n,
             num_members=mpc,
@@ -321,6 +360,7 @@ class FleetFilter:
                     kw = dict(
                         member_base=shard0 + c0,
                         origins=(gmap.origin_x, gmap.origin_y),
+                        map_of=map_of,
                     )
                 parts.append(
                     query(
@@ -381,12 +421,20 @@ class FleetFilter:
     def init_global(self, seed: int = 0) -> FleetState:
         keys = jax.random.split(jax.random.key(seed), self.fleet_size + 1)
         n = self.config.max_particles
-        map_axis = 0 if is_batched_map(self.map) else None
+        gmap = self.map
+        if self.map_assignment is not None:
+            # expand the M-map batch to one entry per member for the init
+            # vmap — WITHOUT the LUT leaves (gathering those would copy
+            # each shared LUT block per member)
+            lite = replace(gmap, range_lut=None, lut_row_map=None)
+            asg = jnp.asarray(self.map_assignment)
+            gmap = jax.tree.map(lambda x: x[asg], lite)
+        map_axis = 0 if is_batched_map(gmap) else None
 
         def one(key, gm):
             return initialize_global(key, gm, n)
 
-        particles, logw = jax.vmap(one, in_axes=(0, map_axis))(keys[1:], self.map)
+        particles, logw = jax.vmap(one, in_axes=(0, map_axis))(keys[1:], gmap)
         return self._place(
             FleetState(
                 particles=particles,

@@ -250,6 +250,79 @@ class TestShardedLut:
         assert np.linalg.norm(poses[0, :2] - p1[:2]) < 0.25
         assert np.linalg.norm(poses[1, :2] - p2[:2]) < 0.25
 
+    def test_fleet_map_assignment_shares_lut_blocks(self, beams60, make_scan):
+        """map_assignment: 6 cars over 2 stacked maps — the LUT holds 2
+        blocks (not 6) and every car localizes on ITS assigned circuit."""
+        from monte_carlo_localization_tpu.mapping import (
+            box_world,
+            random_obstacle_world,
+        )
+        from monte_carlo_localization_tpu.parallel import stack_maps
+
+        m0 = random_obstacle_world(height=96, width=96, num_obstacles=8,
+                                   seed=14)
+        m1 = box_world(height=96, width=96, origin=(-3.0, -2.0, 0.0))
+        bm = stack_maps([m0, m1])
+        asg = np.array([0, 1, 0, 1, 0, 1], np.int32)
+        p0 = np.array([2.4, 2.4, 0.5], np.float32)
+        p1 = np.array([-0.9, 0.1, 0.1], np.float32)
+        s0 = make_scan(m0, p0, beams60)
+        s1 = make_scan(m1, p1, beams60)
+        ff = FleetFilter(
+            bm, fleet_size=6,
+            config=MCLConfig(max_particles=128,
+                             raycast_method="lut_pallas"),
+            beam_angles=beams60,
+            map_assignment=asg,
+        )
+        # the attached LUT covers exactly the 2 stacked maps
+        lut_entries = int(np.prod(np.asarray(ff.map.range_lut).shape))
+        assert lut_entries == 2 * 96 * 96 * ff.map.lut_row_stride
+        poses0 = np.stack([p0 if a == 0 else p1 for a in asg])
+        scans = np.stack([s0 if a == 0 else s1 for a in asg])
+        state = ff.init_pose(poses0, seed=2)
+        for _ in range(4):
+            state, poses = ff.step(state, np.zeros((6, 3)), scans)
+        poses = np.asarray(poses)
+        err = np.linalg.norm(poses[:, :2] - poses0[:, :2], axis=1)
+        assert err.max() < 0.25, err
+        # global init samples each member from ITS map's free space
+        gs = ff.init_global(seed=3)
+        parts = np.asarray(gs.particles)
+        # members on map 1 (origin -3,-2) must include x < 0 samples;
+        # members on map 0 (origin 0,0) must all be x >= 0
+        assert parts[0, :, 0].min() >= -0.01
+        assert parts[1, :, 0].min() < 0.0
+
+    def test_fleet_map_assignment_validation(self, clutter_map, beams60):
+        from monte_carlo_localization_tpu.mapping import box_world
+        from monte_carlo_localization_tpu.parallel import stack_maps
+
+        bm = stack_maps([box_world(height=64, width=64),
+                         box_world(height=64, width=64)])
+        with pytest.raises(ValueError, match="map_assignment requires"):
+            FleetFilter(
+                bm, fleet_size=4,
+                config=MCLConfig(max_particles=64, raycast_method="lut"),
+                beam_angles=beams60,
+                map_assignment=np.array([0, 1, 0, 1]),
+            )
+        with pytest.raises(ValueError, match="in \\[0, 2\\)"):
+            FleetFilter(
+                bm, fleet_size=4,
+                config=MCLConfig(max_particles=64,
+                                 raycast_method="lut_pallas"),
+                beam_angles=beams60,
+                map_assignment=np.array([0, 1, 2, 1]),
+            )
+        with pytest.raises(ValueError, match="pass map_assignment"):
+            FleetFilter(
+                bm, fleet_size=4,  # 2 maps, 4 members, no assignment
+                config=MCLConfig(max_particles=64,
+                                 raycast_method="lut_pallas"),
+                beam_angles=beams60,
+            )
+
     @needs_8
     def test_fleet_pallas_hetero_over_mesh(self, beams60, make_scan):
         """Heterogeneous fleet sharded over an 8-device mesh: each shard's
