@@ -130,7 +130,11 @@ def bench_updates(num_particles, num_beams, gm, method="lut_pallas",
     import jax
 
     if quick:
-        chain, reps = max(chain // 5, 2), 2
+        # honest quick mode: keep the chain length (so dispatch overhead
+        # stays amortized exactly like the full run) and only cut the
+        # number of timed repetitions — a --quick number stays within
+        # ~noise of the full headline instead of underreporting ~3x
+        reps = 2
     pf, state, scan = _build_single(num_particles, num_beams, gm, method)
     action = np.array([0.05, 0.0, 0.01], np.float32)
     actions = np.tile(action, (chain, 1))
@@ -266,7 +270,8 @@ def run_config(n, quick=False, method=None):
             chain=c.get("chain", 50), quick=quick,
         )
         return dict(
-            metric=f"mcl_updates_per_sec[{c['note']}]",
+            metric=f"mcl_updates_per_sec[{c['note']}]"
+                   + ("[quick]" if quick else ""),
             value=round(chained, 2),
             unit="updates/s",
             vs_baseline=round(chained / NORTH_STAR_UPDATES_PER_SEC, 4),
@@ -278,7 +283,8 @@ def run_config(n, quick=False, method=None):
         c["fleet"], c["particles"], c["beams"], gm, method=m, quick=quick,
     )
     return dict(
-        metric=f"fleet_steps_per_sec[{c['note']}]",
+        metric=f"fleet_steps_per_sec[{c['note']}]"
+               + ("[quick]" if quick else ""),
         value=round(ups, 2),
         unit="fleet-steps/s",
         vs_baseline=round(ups * c["fleet"] / NORTH_STAR_UPDATES_PER_SEC, 4),
@@ -297,7 +303,8 @@ def run_headline(quick=False, method="lut_pallas"):
         quick=quick,
     )
     return dict(
-        metric="mcl_updates_per_sec@4000x1080",
+        metric="mcl_updates_per_sec@4000x1080"
+               + ("[quick]" if quick else ""),
         value=round(chained, 2),
         unit="updates/s",
         vs_baseline=round(chained / NORTH_STAR_UPDATES_PER_SEC, 4),
@@ -325,7 +332,21 @@ def _run_with_watchdog(args) -> int:
         # per-config override (e.g. Spielberg's compact-LUT build needs
         # ~14 min the first time the remote compile cache is cold)
         timeout = max(timeout, CONFIGS[args.config].get("timeout", 0.0))
-    for method in (args.method, "lut"):
+    # On a timeout of the primary (Pallas) method, retry it ONCE before
+    # downgrading: the killed attempt usually leaves the remote compile
+    # service / persistent compilation cache warm, so the retry finishes
+    # in a minute instead of the cold ~14 min worst case.
+    attempts = [args.method]
+    if args.method != "lut":
+        attempts += [args.method, "lut"]
+    retried_after_timeout = False
+    for i, method in enumerate(attempts):
+        if (
+            i == 1
+            and attempts[1] == attempts[0]
+            and not retried_after_timeout
+        ):
+            continue  # only replay the primary method after a timeout
         try:
             proc = subprocess.run(
                 _child_args(args, method),
@@ -339,6 +360,7 @@ def _run_with_watchdog(args) -> int:
                 f"# bench: method={method} timed out after {timeout}s",
                 file=sys.stderr,
             )
+            retried_after_timeout = True
             continue
         lines = [
             ln for ln in proc.stdout.splitlines() if ln.startswith("{")
@@ -366,8 +388,11 @@ def main(argv=None) -> int:
         "--method", choices=["lut_pallas", "lut", "sphere", "dda"],
         default="lut_pallas",
     )
-    ap.add_argument("--timeout", type=float, default=480.0,
-                    help="watchdog timeout per child run (seconds)")
+    ap.add_argument("--timeout", type=float, default=1200.0,
+                    help="watchdog timeout per child run (seconds); the "
+                         "headline needs the same cold-compile headroom "
+                         "as the --config runs (remote Mosaic compiles "
+                         "of fresh programs can take minutes)")
     ap.add_argument("--no-watchdog", action="store_true",
                     help="run in-process (internal: watchdog child mode)")
     args = ap.parse_args(argv)

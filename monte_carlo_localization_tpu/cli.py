@@ -313,7 +313,7 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--angle-step", type=int, default=None, dest="angle_step")
     rp.add_argument(
         "--raycast",
-        choices=["lut_pallas", "lut", "sphere", "dda"],
+        choices=["auto", "lut_pallas", "lut", "sphere", "dda"],
         default=None,
     )
     rp.add_argument(
@@ -348,7 +348,7 @@ def build_parser() -> argparse.ArgumentParser:
     lv.add_argument("--angle-step", type=int, default=None, dest="angle_step")
     lv.add_argument(
         "--raycast",
-        choices=["lut_pallas", "lut", "sphere", "dda"],
+        choices=["auto", "lut_pallas", "lut", "sphere", "dda"],
         default=None,
     )
     lv.add_argument("--duration", type=float, default=None,

@@ -75,11 +75,12 @@ class MCLConfig:
     # --- engine knobs (new; TPU-native) ---
     use_parallel_raycasting: bool = True  # kept for config compat; engine is always batched
     num_threads: int = 0  # used by the native host raycaster (0 = auto)
+    # "auto" (default: the fused Pallas kernel on accelerators, the XLA
+    # "lut" path on CPU — resolved by resolve_raycast_method) |
     # "lut_pallas" (fused TPU kernel, fastest) | "lut" (precomputed, one
-    # gather/query, fast everywhere) | "sphere" (EDT marching, no precompute)
-    # | "dda" (reference-exact oracle). The default favors the common case:
-    # "lut" works on any backend with a seconds-scale per-map precompute.
-    raycast_method: str = "lut"
+    # gather/query, fast everywhere) | "sphere" (EDT marching, no
+    # precompute) | "dda" (reference-exact oracle).
+    raycast_method: str = "auto"
     sphere_march_iters: int = 48  # fixed sphere-marching trip count
     lut_theta_bins: int = 1440  # angle quantization of the "lut" backend (0.25 deg)
     sensor_model_mode: str = "analytic"  # "analytic" (gather-free) | "table" (reference LUT)
@@ -132,6 +133,24 @@ class MCLConfig:
 
     def replace(self, **kw: Any) -> "MCLConfig":
         return dataclasses.replace(self, **kw)
+
+
+def resolve_raycast_method(method: str, backend: str | None = None) -> str:
+    """Resolve ``"auto"`` to the best backend for the current device.
+
+    The flagship fused Pallas kernel is the default on real accelerators;
+    on CPU the kernel only runs in (slow) interpret mode, so the XLA
+    ``"lut"`` path is picked instead. Explicit methods pass through
+    unchanged. The engine falls back from an auto-selected ``lut_pallas``
+    to ``"lut"`` if the map/beam geometry is unsupported (see
+    ``ParticleFilter._rebuild_step``)."""
+    if method != "auto":
+        return method
+    if backend is None:
+        import jax
+
+        backend = jax.default_backend()
+    return "lut" if backend == "cpu" else "lut_pallas"
 
 
 _FIELD_NAMES = {f.name for f in dataclasses.fields(MCLConfig)}

@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from monte_carlo_localization_tpu.config import MCLConfig
+from monte_carlo_localization_tpu.config import MCLConfig, resolve_raycast_method
 from monte_carlo_localization_tpu.filter.init import initialize_global, initialize_pose
 from monte_carlo_localization_tpu.mapping.grid_map import GridMap
 from monte_carlo_localization_tpu.models.motion import motion_model
@@ -299,6 +299,14 @@ class ParticleFilter:
         beam_angles: np.ndarray | None = None,
     ):
         self.config = config or MCLConfig()
+        # "auto" resolves to the flagship Pallas kernel on accelerators and
+        # to the XLA "lut" path on CPU; an auto-selected kernel may later
+        # fall back to "lut" if the map/beam geometry is unsupported.
+        self._auto_raycast = self.config.raycast_method == "auto"
+        if self._auto_raycast:
+            self.config = self.config.replace(
+                raycast_method=resolve_raycast_method("auto")
+            )
         if self.config.raycast_method not in ("sphere", "dda", "lut", "lut_pallas"):
             raise ValueError(
                 f"Unknown raycast method: {self.config.raycast_method!r}"
@@ -337,18 +345,39 @@ class ParticleFilter:
         cfg = self.config
         likelihood_fn = None
         if cfg.raycast_method == "lut_pallas" and self.beam_angles is not None:
-            self.grid_map, query = build_pallas_likelihood(
-                self.grid_map, self.beam_angles, cfg, cfg.max_particles
-            )
-            sensor = self.sensor
-            self._pallas_query = query  # exposed for tests/diagnostics
-
-            def likelihood_fn(particles, observed_m, gmap):
-                obs_px = sensor.to_pixel_index(observed_m).astype(jnp.float32)
-                return query(
-                    gmap.range_lut, particles, obs_px,
-                    row_map=gmap.lut_row_map,
+            try:
+                self.grid_map, query = build_pallas_likelihood(
+                    self.grid_map, self.beam_angles, cfg, cfg.max_particles
                 )
+            except ValueError as e:
+                if not self._auto_raycast:
+                    raise
+                # auto-selected kernel on an unsupported map/beam geometry
+                # (e.g. non-injective beam->theta-bin layout, giant
+                # heterogeneous LUTs): degrade to the XLA lut path
+                import warnings
+
+                warnings.warn(
+                    "auto raycast: lut_pallas unsupported here "
+                    f"({e}); falling back to 'lut'",
+                    stacklevel=2,
+                )
+                self.config = cfg = cfg.replace(raycast_method="lut")
+                self.grid_map = self.grid_map.with_range_lut(
+                    cfg.lut_theta_bins
+                )
+            else:
+                sensor = self.sensor
+                self._pallas_query = query  # exposed for tests/diagnostics
+
+                def likelihood_fn(particles, observed_m, gmap):
+                    obs_px = sensor.to_pixel_index(observed_m).astype(
+                        jnp.float32
+                    )
+                    return query(
+                        gmap.range_lut, particles, obs_px,
+                        row_map=gmap.lut_row_map,
+                    )
 
         step_fn = partial(
             mcl_step,

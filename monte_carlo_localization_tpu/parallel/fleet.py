@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from monte_carlo_localization_tpu.config import MCLConfig
+from monte_carlo_localization_tpu.config import MCLConfig, resolve_raycast_method
 from monte_carlo_localization_tpu.filter.core import MCLState, expected_pose, mcl_step
 from monte_carlo_localization_tpu.filter.init import initialize_global, initialize_pose
 from monte_carlo_localization_tpu.mapping.grid_map import GridMap, OCC_OCCUPIED
@@ -163,6 +163,9 @@ class FleetFilter:
         ``raycast_method='lut_pallas'`` (the XLA paths vmap the map per
         member and would duplicate it)."""
         self.config = config or MCLConfig()
+        self.config = self.config.replace(
+            raycast_method=resolve_raycast_method(self.config.raycast_method)
+        )
         # the fused Pallas kernel serves the fleet as one big flattened
         # particle batch with per-member scans (obs blocks indexed by
         # member); heterogeneous fleets concatenate per-member LUTs and

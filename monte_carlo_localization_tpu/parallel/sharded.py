@@ -50,8 +50,13 @@ class ShardedParticleFilter:
         beam_angles: np.ndarray | None = None,
     ):
         self.config = config or MCLConfig()
+        from monte_carlo_localization_tpu.config import resolve_raycast_method
         from monte_carlo_localization_tpu.parallel.fleet import (
             _validate_parallel_config,
+        )
+
+        self.config = self.config.replace(
+            raycast_method=resolve_raycast_method(self.config.raycast_method)
         )
 
         _validate_parallel_config(

@@ -90,13 +90,13 @@ class MCLNode:
         self.odom_initialized = False
         self.downsampled_ranges: np.ndarray | None = None
         self._last_update_time: float | None = None
-        self._avg_mcl_ms_window: list[float] = []
         # async_correction pipeline: up to config.async_depth dispatched
         # corrections in flight as (pose device-array, dispatch time)
         import collections
 
         self._inflight_q: collections.deque = collections.deque()
         self._last_dispatch_mono: float | None = None
+        self._last_harvest_mono: float | None = None
         self._in_replay = False  # replay drives sim time: always sync there
 
         # Augmented-MCL auto re-localization monitor (config.auto_reinit).
@@ -158,6 +158,7 @@ class MCLNode:
         tracker at it."""
         self._inflight_q.clear()
         self._last_dispatch_mono = None
+        self._last_harvest_mono = None
 
     def initialize_pose(self, pose: np.ndarray) -> None:
         self._flush_inflight()
@@ -292,16 +293,49 @@ class MCLNode:
                 jax.block_until_ready(pose_dev), dtype=np.float64
             )
             self._inflight_q.popleft()
-            self.stats.total_mcl_time += (time.monotonic() - t_disp) * 1e3
+            t_now = time.monotonic()
+            # Two distinct times per harvested correction:
+            # * MARGINAL time — what this correction added on top of the
+            #   previous one (from max(dispatch, previous harvest) to
+            #   now). This is the honest per-correction cost for
+            #   TimingStats: with the pipeline full it converges to the
+            #   true device step time, never the depth x queue wait.
+            # * STALENESS — now minus this correction's dispatch, i.e.
+            #   exactly how old the scan/odometry behind this pose is.
+            #   That (and only that) drives the anchor's delay
+            #   compensation below.
+            base = (
+                t_disp
+                if self._last_harvest_mono is None
+                else max(t_disp, self._last_harvest_mono)
+            )
+            self._last_harvest_mono = t_now
+            self.stats.total_mcl_time += (t_now - base) * 1e3
             self.stats.measurement_count += 1
-            self._post_correction(pose, log_q=float(q_dev))
+            self._post_correction(
+                pose,
+                log_q=float(q_dev),
+                delay_ms=(t_now - t_disp) * 1e3,
+                # staleness is measured exactly, so no heuristic inflation
+                # factor is needed (the reference's 1.5x factor pads an
+                # ESTIMATED average step time, reference :790-806)
+                delay_factor=1.0,
+            )
         return pose
 
-    def _post_correction(self, pose: np.ndarray, log_q: float | None = None) -> None:
+    def _post_correction(
+        self,
+        pose: np.ndarray,
+        log_q: float | None = None,
+        delay_ms: float | None = None,
+        delay_factor: float | None = None,
+    ) -> None:
         """Anchor refresh + auto-reinit monitor + periodic logging — the
         tail of the reference's timer_update (:781-827). ``log_q``
-        overrides the quality fed to the reinit monitor (the async path
-        passes the harvested correction's own scalar)."""
+        overrides the quality fed to the reinit monitor; ``delay_ms`` /
+        ``delay_factor`` override the anchor's delay compensation (the
+        async path passes the harvested correction's own quality scalar
+        and exact measured staleness)."""
         self.inferred_pose = pose
 
         # anchor refresh with delay compensation (reference :781-807)
@@ -312,11 +346,15 @@ class MCLNode:
             self.tracker.anchor(
                 pose,
                 avg_mcl_ms=(
-                    self.stats.avg_total_ms
+                    (self.stats.avg_total_ms if delay_ms is None else delay_ms)
                     if self.delay_compensation_enabled
                     else 0.0
                 ),
-                delay_compensation_factor=self.config.delay_compensation_factor,
+                delay_compensation_factor=(
+                    self.config.delay_compensation_factor
+                    if delay_factor is None
+                    else delay_factor
+                ),
             )
 
         # after the anchor refresh so a triggered re-init (which deactivates
