@@ -164,6 +164,81 @@ def bench_updates(num_particles, num_beams, gm, method="lut_pallas",
     return chained, dispatch
 
 
+def bench_convergence(num_particles, num_beams, gm, method="lut_pallas",
+                      trials=5, max_updates=80, chunk=5, tol_m=0.5,
+                      quick=False):
+    """Config #4's actual semantics (BASELINE.json: "100k uniformly-seeded
+    particles on basement_fixed UNTIL CONVERGENCE"): the kidnapped-robot
+    experiment. Each trial seeds the full particle count uniformly over
+    free space, repeats corrections against a scan synthesized at a
+    random free pose, and records how many updates / how much wall time
+    until the weighted pose lands within ``tol_m`` of the truth.
+
+    Returns (success_rate, median_updates, median_seconds, per_trial).
+    Convergence to a wrong mode in a self-similar corridor counts as a
+    failure — the success rate is part of the result, not noise.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from monte_carlo_localization_tpu.config import MCLConfig
+    from monte_carlo_localization_tpu.filter import ParticleFilter
+    from monte_carlo_localization_tpu.ops.raycast import cast_rays_sphere
+
+    if quick:
+        trials, max_updates = 2, 40
+    pf = ParticleFilter(
+        gm, MCLConfig(max_particles=num_particles, raycast_method=method)
+    )
+    beams = _beams(num_beams)
+    pf.set_beam_angles(beams)
+    rng = np.random.default_rng(0)
+    free = np.asarray(gm.free_cells[: int(gm.num_free)])
+    actions = np.zeros((chunk, 3), np.float32)
+
+    def synth(pose):
+        q = np.stack(
+            [np.full(num_beams, pose[0]), np.full(num_beams, pose[1]),
+             pose[2] + beams], 1,
+        ).astype(np.float32)
+        return np.asarray(cast_rays_sphere(gm, jnp.asarray(q), num_iters=64))
+
+    # pay the jit compile outside every trial's timer
+    warm = pf.init_global(seed=99)
+    warm, p = pf.step_many(warm, actions, np.tile(synth(
+        _nearest_free_pose(gm, _center_pose(gm))), (chunk, 1)))
+    jax.block_until_ready(p)
+
+    per_trial = []
+    for trial in range(trials):
+        row, col = free[rng.integers(len(free))]
+        pose = np.array(
+            [col * gm.resolution + float(gm.origin_x),
+             row * gm.resolution + float(gm.origin_y),
+             rng.uniform(-np.pi, np.pi)],
+            np.float32,
+        )
+        scans = np.tile(synth(pose), (chunk, 1))
+        state = pf.init_global(seed=100 + trial)
+        t0 = time.perf_counter()
+        hit = None
+        for u in range(chunk, max_updates + 1, chunk):
+            state, poses = pf.step_many(state, actions, scans)
+            est = np.asarray(poses[-1])  # blocking readback per chunk
+            err = float(np.hypot(est[0] - pose[0], est[1] - pose[1]))
+            if err < tol_m:
+                hit = dict(updates=u, seconds=time.perf_counter() - t0,
+                           err_m=round(err, 3))
+                break
+        per_trial.append(hit)
+
+    ok = [t for t in per_trial if t]
+    rate = len(ok) / trials
+    med_u = float(np.median([t["updates"] for t in ok])) if ok else None
+    med_s = round(float(np.median([t["seconds"] for t in ok])), 3) if ok else None
+    return rate, med_u, med_s, per_trial
+
+
 def bench_fleet(fleet_size, num_particles, num_beams, maps, method="lut",
                 warmup=2, iters=20, quick=False):
     """Fleet across MULTIPLE maps (BASELINE.json config #5): members share
@@ -293,6 +368,28 @@ def run_config(n, quick=False, method=None):
     )
 
 
+def run_converge(quick=False, method="lut_pallas"):
+    """Kidnapped-robot convergence on basement_fixed (config #4's "until
+    convergence" semantics). ``vs_baseline`` carries the SUCCESS RATE —
+    the reference publishes no convergence number to normalize against
+    (its README describes global re-localization aspirationally only)."""
+    gm = _load_real_map(CONFIG_MAPS[4])
+    rate, med_u, med_s, per_trial = bench_convergence(
+        100_000, 60, gm, method=method, quick=quick,
+    )
+    return dict(
+        metric="time_to_converge[config#4: 100k uniform seed, basement_fixed]"
+               + ("[quick]" if quick else ""),
+        value=med_s if med_s is not None else -1.0,
+        unit="s",
+        vs_baseline=rate,
+        success_rate=rate,
+        median_updates=med_u,
+        trials=per_trial,
+        method=method,
+    )
+
+
 def run_headline(quick=False, method="lut_pallas"):
     # the 4000 x 1080 north-star workload (BASELINE.md); map scale matches
     # round-1 (768^2 synthetic world) — per-step cost is map-independent
@@ -319,6 +416,8 @@ def _child_args(args, method):
             "--method", method]
     if args.quick:
         argv.append("--quick")
+    if getattr(args, "converge", False):
+        argv.append("--converge")
     if args.config is not None:
         argv += ["--config", str(args.config)]
     return argv
@@ -395,6 +494,10 @@ def main(argv=None) -> int:
                          "of fresh programs can take minutes)")
     ap.add_argument("--no-watchdog", action="store_true",
                     help="run in-process (internal: watchdog child mode)")
+    ap.add_argument("--converge", action="store_true",
+                    help="config #4 'until convergence' semantics: 100k "
+                         "uniform seed on basement_fixed, measure "
+                         "time/updates to converge + success rate")
     args = ap.parse_args(argv)
 
     if args.all:
@@ -418,6 +521,9 @@ def main(argv=None) -> int:
         return _run_with_watchdog(args)
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+    if args.converge:
+        print(json.dumps(run_converge(quick=args.quick, method=args.method)))
+        return 0
     if args.config is not None:
         print(json.dumps(run_config(args.config, quick=args.quick,
                                     method=args.method)))

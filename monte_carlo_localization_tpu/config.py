@@ -90,6 +90,12 @@ class MCLConfig:
     # grid overhead (80 ~9% over 16 at 4000x1080 on v5e) at the cost of
     # 2*block*window_bytes VMEM scratch.
     pallas_block: int = 80
+    # unique-window DMA dedup (lut_pallas, single filter only): -1 = auto
+    # (8 slots when max_particles >= 16384 — giant clouds are DMA-issue
+    # bound once converged), 0 = off, S > 0 = force S slots/block. Safe
+    # for any workload: blocks with > S distinct windows fall back to the
+    # one-DMA-per-particle kernel inside the same jitted step.
+    pallas_dedup_slots: int = -1
     resample_method: str = "systematic"  # "systematic" | "multinomial" (reference compat)
     exact_dt_heuristic: bool = True  # reproduce reference dt reconstruction (:452-471)
     # pipeline live corrections: dispatch without blocking, harvest poses

@@ -282,8 +282,22 @@ def build_pallas_likelihood(
         num_members=num_members,
         lut_dtype=dtype,
         per_member_maps=num_maps > 1,
+        dedup_slots=_resolve_dedup_slots(cfg, num_particles, num_members),
     )
     return grid_map, query
+
+
+def _resolve_dedup_slots(cfg: MCLConfig, num_particles: int,
+                         num_members: int) -> int:
+    """-1 (auto) enables 8 unique-window slots for giant single-member
+    clouds (>= 16384 particles), where the kernel is scalar-core
+    DMA-issue bound; small clouds skip the sort/rank prep overhead."""
+    if num_members > 1:
+        return 0
+    s = cfg.pallas_dedup_slots
+    if s < 0:
+        return 8 if num_particles >= 16384 else 0
+    return s
 
 
 class ParticleFilter:

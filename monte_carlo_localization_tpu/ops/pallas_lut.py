@@ -187,6 +187,7 @@ def build_lut_query_fn(
     num_members: int = 1,
     lut_dtype: np.dtype = np.uint8,
     per_member_maps: bool = False,
+    dedup_slots: int = 0,
 ):
     """Returns (query, info): query(lut_flat, particles, obs_px) -> (N,)
     log weights.
@@ -210,6 +211,20 @@ def build_lut_query_fn(
     and ``origins`` = (origin_x (F_total,), origin_y (F_total,)) traced
     per-member origins. Each particle's window index then offsets into
     its member's LUT block.
+
+    With ``dedup_slots`` = S > 0 (single member only) the query sorts the
+    particles' window subrow indices on device and runs a second kernel
+    variant that issues only S window DMAs per ``block`` particles —
+    slot s holds the block's s-th DISTINCT window, and each particle
+    reads its slot through a dynamic VMEM index (no per-slot control
+    flow, the measured-slow ``pl.when`` dedup of PERF.md). A converged
+    cloud shares a handful of windows, so this removes the scalar-core
+    DMA-issue floor that dominates at 100k particles (config #4). Any
+    block with more than S distinct windows flips a traced overflow flag
+    and the step falls back to the standard one-DMA-per-particle kernel
+    via ``lax.cond`` — bit-identical results either way, so the dedup
+    path is safe to enable for any workload (global-seed clouds simply
+    take the standard branch until they converge).
     """
     r = len(beam_angles)
     base, k, e = beam_geometry(beam_angles, t_bins)
@@ -276,6 +291,28 @@ def build_lut_query_fn(
         xb = pltpu.roll(x1, -(a + 1), 0)
         return jnp.where(carry, xb, xa)
 
+    def block_logp(rows, obs_row, masks_ref):
+        """Analytic beam model over one block's rotated windows: rows is a
+        list of ``block`` (s_sub, LANE) f32 windows."""
+        d = jnp.minimum(jnp.stack(rows), m)  # (block, s_sub, LANE)
+
+        obs = obs_row[None]  # (1, s_sub, LANE) broadcast over block
+        z = obs - d
+        p = gauss_coef * jnp.exp(-(z * z) * inv2s2)
+        p = p + jnp.where(
+            obs < d, 2.0 * z_short * (d - obs) / jnp.maximum(d, 1.0), 0.0
+        )
+        p = p + jnp.where(obs >= m, z_max, 0.0)
+        p = p + jnp.where(obs < m, z_rand / m, 0.0)
+        gauss_sum = 0.5 * (_erf((m - d + 0.5) / sq2) - _erf((-d - 0.5) / sq2))
+        norm = (
+            z_hit * gauss_sum
+            + jnp.where(d > 0, z_short * (d + 1.0), 0.0)
+            + z_max
+            + z_rand
+        )
+        return (jnp.log(jnp.maximum(p, 1e-35)) - jnp.log(norm)) * masks_ref[None]
+
     def kernel(y0_ref, rem_ref, obs_ref, masks_ref, lut_ref, out_ref,
                scratch, sems):
         i = pl.program_id(0)
@@ -317,24 +354,62 @@ def build_lut_query_fn(
             # Mosaic has no u8/u16->f32 cast; widen through int32
             win = win.astype(jnp.int32).astype(jnp.float32)
             rows.append(rotate_flat(win, rem_ref[i * block + s]))
-        d = jnp.minimum(jnp.stack(rows), m)  # (block, s_sub, LANE)
+        logp = block_logp(rows, obs_ref[0], masks_ref)
+        for s in range(block):
+            out_ref[s, 0] = inv_squash * jnp.sum(logp[s])
 
-        obs = obs_ref[0][None]  # (1, s_sub, LANE) broadcast over block
-        z = obs - d
-        p = gauss_coef * jnp.exp(-(z * z) * inv2s2)
-        p = p + jnp.where(
-            obs < d, 2.0 * z_short * (d - obs) / jnp.maximum(d, 1.0), 0.0
+    n_slots = int(dedup_slots)
+    if n_slots > 0 and (num_members > 1 or per_member_maps):
+        raise ValueError(
+            "dedup_slots needs a single member (sorting particles by "
+            "window would mix fleet members' scans)"
         )
-        p = p + jnp.where(obs >= m, z_max, 0.0)
-        p = p + jnp.where(obs < m, z_rand / m, 0.0)
-        gauss_sum = 0.5 * (_erf((m - d + 0.5) / sq2) - _erf((-d - 0.5) / sq2))
-        norm = (
-            z_hit * gauss_sum
-            + jnp.where(d > 0, z_short * (d + 1.0), 0.0)
-            + z_max
-            + z_rand
-        )
-        logp = (jnp.log(jnp.maximum(p, 1e-35)) - jnp.log(norm)) * masks_ref[None]
+    n_slots = min(n_slots, block)
+
+    def kernel_dedup(sy0_ref, widx_ref, rem_ref, obs_ref, masks_ref,
+                     lut_ref, out_ref, scratch, sems):
+        """Unique-window variant: ``n_slots`` DMAs per block instead of
+        ``block``; scratch is flattened to (2*n_slots, ...) so each
+        particle's window read is ONE dynamic leading index (buf*S + slot
+        rank) — no per-slot branches on the scalar core."""
+        i = pl.program_id(0)
+        nblocks = pl.num_programs(0)
+        buf = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        def start_dmas(b, blk):
+            for s in range(n_slots):
+                pltpu.make_async_copy(
+                    lut_ref.at[pl.ds(sy0_ref[blk * n_slots + s], y_rows)],
+                    scratch.at[b * n_slots + s],
+                    sems.at[b * n_slots + s],
+                ).start()
+
+        def wait_dmas(b, blk):
+            for s in range(n_slots):
+                pltpu.make_async_copy(
+                    lut_ref.at[pl.ds(sy0_ref[blk * n_slots + s], y_rows)],
+                    scratch.at[b * n_slots + s],
+                    sems.at[b * n_slots + s],
+                ).wait()
+
+        @pl.when(i == 0)
+        def _():
+            start_dmas(0, 0)
+
+        @pl.when(i + 1 < nblocks)
+        def _():
+            start_dmas(nxt, i + 1)
+
+        wait_dmas(buf, i)
+
+        rows = []
+        for s in range(block):
+            w = widx_ref[i * block + s]
+            win = scratch[buf * n_slots + w].reshape(s_sub, LANE)
+            win = win.astype(jnp.int32).astype(jnp.float32)
+            rows.append(rotate_flat(win, rem_ref[i * block + s]))
+        logp = block_logp(rows, obs_ref[0], masks_ref)
         for s in range(block):
             out_ref[s, 0] = inv_squash * jnp.sum(logp[s])
 
@@ -370,6 +445,41 @@ def build_lut_query_fn(
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
         interpret=interpret,
     )
+
+    call_dedup = None
+    if n_slots > 0:
+        grid_spec_dedup = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # slot_y0 (nb*S,), widx (N,), rem (N,)
+            grid=(n // block,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, s_sub, LANE),
+                    lambda i, *_: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (s_sub, LANE), lambda i, *_: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (block, 1), lambda i, *_: (i, 0), memory_space=pltpu.SMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (2 * n_slots, y_rows, sub_lanes, LANE),
+                    jnp.uint8 if itemsize == 1 else jnp.uint16,
+                ),
+                pltpu.SemaphoreType.DMA((2 * n_slots,)),
+            ],
+        )
+        call_dedup = pl.pallas_call(
+            kernel_dedup,
+            grid_spec=grid_spec_dedup,
+            out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            interpret=interpret,
+        )
 
     t = t_bins
     masks_const = masks_np
@@ -434,10 +544,53 @@ def build_lut_query_fn(
             ].reshape(1, s_sub, LANE)
 
         lut3 = lut_flat.reshape(-1, sub_lanes, LANE)
-        logw = call(y0, rem, obs_lanes, jnp.asarray(masks_const), lut3)[:, 0]
+        masks_dev = jnp.asarray(masks_const)
+        if call_dedup is None:
+            logw = call(y0, rem, obs_lanes, masks_dev, lut3)[:, 0]
+            return jnp.where(oob, -1e4, logw)
+
+        # ---- unique-window dedup path ----
+        # sort by window subrow so duplicates are adjacent, rank each
+        # particle's window WITHIN its block, and fill slot tables with
+        # the first n_slots distinct windows per block
+        nb = n // block
+        perm = jnp.argsort(y0)
+        y0s = y0[perm]
+        rems = rem[perm]
+        y0b = y0s.reshape(nb, block)
+        newf = jnp.concatenate(
+            [
+                jnp.ones((nb, 1), jnp.int32),
+                (y0b[:, 1:] != y0b[:, :-1]).astype(jnp.int32),
+            ],
+            axis=1,
+        )
+        rank = jnp.cumsum(newf, axis=1) - 1  # 0-based distinct-window rank
+        overflow = jnp.max(rank[:, -1]) >= n_slots
+        widx = jnp.minimum(rank, n_slots - 1).astype(jnp.int32)
+        # all writers of a kept slot share one y0 value, so .max is a
+        # deterministic scatter; overflow clobbers slot n_slots-1 but the
+        # cond below discards the dedup result in that case
+        slot_y0 = (
+            jnp.zeros((nb, n_slots), y0.dtype)
+            .at[jnp.arange(nb)[:, None], widx]
+            .max(y0b)
+        )
+
+        logw_sorted = jax.lax.cond(
+            overflow,
+            lambda a: call(a[0], a[1], obs_lanes, masks_dev, lut3)[:, 0],
+            lambda a: call_dedup(
+                a[2].reshape(-1), a[3].reshape(-1), a[1],
+                obs_lanes, masks_dev, lut3,
+            )[:, 0],
+            (y0s, rems, slot_y0, widx),
+        )
+        logw = jnp.zeros((n,), jnp.float32).at[perm].set(logw_sorted)
         return jnp.where(oob, -1e4, logw)
 
     return query, dict(
         n_e=n_e, window_bytes=wents * itemsize, window_entries=wents,
         row_stride=row_stride, t_bins=t_bins, lut_dtype=str(lut_dtype),
+        dedup_slots=n_slots,
     )

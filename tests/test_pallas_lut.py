@@ -90,7 +90,7 @@ def _oracle_logw(
 
 def _build(beams, num_particles, *, height, width, resolution=0.05,
            origin_x=0.0, origin_y=0.0, max_range_px=120, t_bins=None,
-           block=16):
+           block=16, dedup_slots=0):
     t = t_bins or suggest_theta_bins(beams)
     dtype = lut_dtype(max_range_px)
     stride = required_row_stride(t, beams, itemsize=dtype.itemsize)
@@ -102,6 +102,7 @@ def _build(beams, num_particles, *, height, width, resolution=0.05,
         z_hit=Z_HIT, z_short=Z_SHORT, z_max=Z_MAX, z_rand=Z_RAND,
         sigma_hit=SIGMA, inv_squash=INV_SQUASH,
         block=block, interpret=True, lut_dtype=dtype,
+        dedup_slots=dedup_slots,
     )
     return query, info, t, stride
 
@@ -347,6 +348,145 @@ class TestKernelParity:
                 sigma_hit=SIGMA, inv_squash=INV_SQUASH,
                 block=16, interpret=True,
             )
+
+
+class TestDedupKernel:
+    """Unique-window DMA dedup (``dedup_slots``): the sorted fixed-slot
+    kernel must be BIT-identical to the standard kernel — same windows,
+    same rotation, same model math, only the DMA schedule differs — and
+    blocks with more distinct windows than slots must fall back to the
+    standard kernel inside the jitted step."""
+
+    def _both(self, rng, particles, beams=BEAMS_60, height=24, width=32,
+              block=16, dedup_slots=8, max_range_px=120):
+        n = len(particles)
+        q_std, _, t, stride = _build(beams, n, height=height, width=width,
+                                     block=block, max_range_px=max_range_px)
+        q_dd, info, _, _ = _build(beams, n, height=height, width=width,
+                                  block=block, dedup_slots=dedup_slots,
+                                  max_range_px=max_range_px)
+        assert info["dedup_slots"] == min(dedup_slots, block)
+        lut2d = _make_lut(rng, height * width, stride, t, max_range_px)
+        obs = rng.uniform(0, max_range_px, len(beams)).astype(np.float32)
+        lut_flat = jnp.asarray(lut2d.reshape(-1))
+        std = np.asarray(q_std(lut_flat, jnp.asarray(particles),
+                               jnp.asarray(obs)))
+        dd = np.asarray(q_dd(lut_flat, jnp.asarray(particles),
+                             jnp.asarray(obs)))
+        want = _oracle_logw(
+            lut2d, particles.astype(np.float64), obs.astype(np.float64),
+            beams, t, max_range_px, height=height, width=width,
+            resolution=0.05, origin_x=0.0, origin_y=0.0,
+        )
+        return std, dd, want
+
+    def test_converged_cloud_takes_dedup_branch_bit_identical(self):
+        """A few distinct poses per block (<= slots): the dedup branch runs
+        and must agree with the standard kernel bit for bit."""
+        rng = np.random.default_rng(20)
+        n = 64
+        distinct = np.array(
+            [[0.71, 0.63, 1.1], [0.32, 0.21, -0.4], [1.12, 0.94, 2.0]],
+            np.float32,
+        )
+        particles = distinct[rng.integers(0, 3, n)]
+        std, dd, want = self._both(rng, particles)
+        np.testing.assert_array_equal(std, dd)
+        _assert_close(dd, want)
+
+    def test_overflow_falls_back_to_standard(self):
+        """Every particle in its own cell with its own heading: > slots
+        distinct windows per block, so the cond takes the standard branch
+        — results still exact vs the oracle."""
+        rng = np.random.default_rng(21)
+        n, width = 64, 32
+        x = (np.arange(n) % width) * 0.05 + 0.026
+        y = (np.arange(n) // width) * 0.05 + 0.026
+        theta = rng.uniform(-math.pi, math.pi, n)
+        particles = np.stack([x, y, theta], 1).astype(np.float32)
+        std, dd, want = self._both(rng, particles)
+        np.testing.assert_array_equal(std, dd)
+        _assert_close(dd, want)
+
+    def test_mixed_dup_unique_and_oob(self):
+        """Shuffled mix of heavy duplicates, singletons and out-of-map
+        particles across block boundaries."""
+        rng = np.random.default_rng(22)
+        n = 48
+        particles = np.tile(
+            np.array([0.71, 0.63, 1.1], np.float32), (n, 1)
+        )
+        particles[3] = [0.32, 0.21, -0.4]
+        particles[17] = [-3.0, 0.5, 0.0]  # out of map
+        particles[31] = [1.12, 0.94, 2.0]
+        rng.shuffle(particles)
+        std, dd, want = self._both(rng, particles, dedup_slots=4)
+        np.testing.assert_array_equal(std, dd)
+        assert (dd == -1e4).sum() == 1
+        _assert_close(dd, want)
+
+    def test_u16_long_range_dedup(self):
+        rng = np.random.default_rng(23)
+        n = 32
+        distinct = np.array(
+            [[0.71, 0.63, 1.1], [0.32, 0.21, -0.4]], np.float32
+        )
+        particles = distinct[rng.integers(0, 2, n)]
+        std, dd, want = self._both(rng, particles, max_range_px=600)
+        np.testing.assert_array_equal(std, dd)
+        _assert_close(dd, want)
+
+    def test_fleet_members_rejected(self):
+        t = suggest_theta_bins(BEAMS_60)
+        with pytest.raises(ValueError, match="single member"):
+            build_lut_query_fn(
+                t, BEAMS_60, 32, height=8, width=8, resolution=0.05,
+                origin_x=0.0, origin_y=0.0, max_range_px=100,
+                row_stride=required_row_stride(t, BEAMS_60),
+                z_hit=Z_HIT, z_short=Z_SHORT, z_max=Z_MAX, z_rand=Z_RAND,
+                sigma_hit=SIGMA, inv_squash=INV_SQUASH,
+                block=16, interpret=True, num_members=2, dedup_slots=8,
+            )
+
+    def test_auto_resolution_thresholds(self):
+        from monte_carlo_localization_tpu.config import MCLConfig
+        from monte_carlo_localization_tpu.filter.core import (
+            _resolve_dedup_slots,
+        )
+
+        auto = MCLConfig()
+        assert _resolve_dedup_slots(auto, 4000, 1) == 0
+        assert _resolve_dedup_slots(auto, 100_000, 1) == 8
+        assert _resolve_dedup_slots(auto, 100_000, 4) == 0  # fleet: off
+        off = MCLConfig(pallas_dedup_slots=0)
+        assert _resolve_dedup_slots(off, 100_000, 1) == 0
+        forced = MCLConfig(pallas_dedup_slots=16)
+        assert _resolve_dedup_slots(forced, 256, 1) == 16
+
+    def test_filter_end_to_end_with_dedup(self, clutter_map, beams60,
+                                          make_scan):
+        """A ParticleFilter with forced dedup slots localizes, and its
+        log-quality matches the same filter without dedup."""
+        from monte_carlo_localization_tpu.config import MCLConfig
+        from monte_carlo_localization_tpu.filter import ParticleFilter
+
+        pose = np.array([10.0, 10.0, 0.5], np.float32)
+        scan = make_scan(clutter_map, pose, beams60)
+        ests = []
+        for slots in (0, 4):
+            pf = ParticleFilter(
+                clutter_map,
+                MCLConfig(
+                    max_particles=128, raycast_method="lut_pallas",
+                    pallas_dedup_slots=slots, seed=7,
+                ),
+            )
+            pf.set_beam_angles(beams60)
+            state = pf.init_pose(pose, seed=1)
+            state, est = pf.step(state, np.zeros(3, np.float32), scan)
+            ests.append(np.asarray(est))
+        np.testing.assert_allclose(ests[0], ests[1], atol=1e-5)
+        assert np.linalg.norm(ests[1][:2] - pose[:2]) < 0.3
 
 
 class TestKernelParityU16:
