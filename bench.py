@@ -239,6 +239,90 @@ def bench_convergence(num_particles, num_beams, gm, method="lut_pallas",
     return rate, med_u, med_s, per_trial
 
 
+def bench_live(num_particles, num_beams, gm, method="lut_pallas",
+               live_chunk=1, async_depth=4, duration_s=6.0, quick=False):
+    """Corrections/s a LIVE robot loop actually gets: real wall-clock
+    ticks through ``MCLNode.update`` with the async pipeline, including
+    every host->device dispatch overhead. ``live_chunk=1`` is the plain
+    depth-N pipeline (one ``step`` per dispatch); K>1 buffers K ticks and
+    dispatches one ``step_many(K)`` — amortizing the ~3 ms tunnel
+    round-trip over K corrections at <= K-1 ticks of pose latency."""
+    import jax.numpy as jnp
+
+    from monte_carlo_localization_tpu.config import MCLConfig
+    from monte_carlo_localization_tpu.ops.raycast import cast_rays_sphere
+    from monte_carlo_localization_tpu.runtime import MCLNode
+
+    if quick:
+        duration_s = min(duration_s, 3.0)
+    cfg = MCLConfig(
+        max_particles=num_particles, raycast_method=method,
+        async_correction=True, async_depth=async_depth,
+        live_chunk=live_chunk,
+    )
+    node = MCLNode(gm, cfg, rng_seed=0)
+    beams = _beams(num_beams)
+    pose = _nearest_free_pose(gm, _center_pose(gm))
+    q = np.stack(
+        [np.full(num_beams, pose[0]), np.full(num_beams, pose[1]),
+         pose[2] + beams], 1,
+    ).astype(np.float32)
+    scan = np.asarray(cast_rays_sphere(gm, jnp.asarray(q), num_iters=64))
+    node.initialize_pose(pose)
+    node.on_scan(scan, beam_angles=beams)
+    node.on_odometry(pose[0], pose[1], pose[2], 0.0, 0.0, stamp=0.0)
+
+    # spy on the anchor refresh: its avg_mcl_ms kwarg is each pose's true
+    # measured staleness — the honest latency cost of pipelining/chunking
+    staleness_ms = []
+    real_anchor = node.tracker.anchor
+
+    def anchor_spy(p, **kw):
+        if "avg_mcl_ms" in kw:
+            staleness_ms.append(kw["avg_mcl_ms"])
+        return real_anchor(p, **kw)
+
+    node.tracker.anchor = anchor_spy
+
+    # count every correction that surfaces: superseded poses go to sinks
+    # via publish_correction, the freshest returns from update(). Do NOT
+    # count via node.stats — the node resets its stats every 200 ticks
+    # (the reference's printout cadence, reference src/utils.cpp:105-125),
+    # which silently truncates a cross-reset measurement window.
+    from monte_carlo_localization_tpu.runtime import CallbackSink
+
+    sunk = [0]
+    node.add_sink(CallbackSink(
+        lambda top, t, p: sunk.__setitem__(0, sunk[0] + 1), topics=("pose",)
+    ))
+
+    # warm: tick until the first harvest lands (pays jit compiles; the
+    # dt>1s gap-skip swallows the tick right after a multi-second compile)
+    t_warm0 = time.perf_counter()
+    warmed = 0
+    while warmed < 1:
+        if node.update() is not None:
+            warmed += 1
+        if time.perf_counter() - t_warm0 > 900.0:
+            raise RuntimeError("live bench warmup never harvested")
+    staleness_ms.clear()
+    sunk[0] = 0
+    harvested = 0
+    t0 = time.perf_counter()
+    last_pose = None
+    while time.perf_counter() - t0 < duration_s:
+        p = node.update()
+        if p is not None:
+            last_pose = p
+            harvested += 1  # the one pose per tick NOT sink-published
+            # (chunk intermediates and superseded finals hit the sink)
+    n = sunk[0] + harvested
+    rate = n / (time.perf_counter() - t0)
+    assert last_pose is None or np.isfinite(last_pose).all()
+    stale = float(np.median(staleness_ms)) if staleness_ms else -1.0
+    return rate, stale
+
+
 def bench_fleet(fleet_size, num_particles, num_beams, maps, method="lut",
                 warmup=2, iters=20, quick=False):
     """Fleet across MULTIPLE maps (BASELINE.json config #5): members share
@@ -390,6 +474,29 @@ def run_converge(quick=False, method="lut_pallas"):
     )
 
 
+def run_live(quick=False, method="lut_pallas"):
+    """The live-loop story (VERDICT round 1, item 4): corrections/s a
+    real robot tick loop gets, plain async pipeline vs micro-chunked
+    dispatch, on the config #1 workload/map. Each JSON line carries the
+    measured pose staleness — the latency price of the extra throughput."""
+    gm = _load_real_map(CONFIG_MAPS[1])
+    out = []
+    for k in (1, 8, 32):
+        rate, stale = bench_live(
+            4000, 60, gm, method=method, live_chunk=k, quick=quick,
+        )
+        out.append(dict(
+            metric=f"live_corrections_per_sec[config#1 map, async depth 4, "
+                   f"live_chunk={k}]" + ("[quick]" if quick else ""),
+            value=round(rate, 2),
+            unit="corrections/s",
+            vs_baseline=round(rate / NORTH_STAR_UPDATES_PER_SEC, 4),
+            median_pose_staleness_ms=round(stale, 1),
+            method=method,
+        ))
+    return out
+
+
 def run_headline(quick=False, method="lut_pallas"):
     # the 4000 x 1080 north-star workload (BASELINE.md); map scale matches
     # round-1 (768^2 synthetic world) — per-step cost is map-independent
@@ -418,6 +525,8 @@ def _child_args(args, method):
         argv.append("--quick")
     if getattr(args, "converge", False):
         argv.append("--converge")
+    if getattr(args, "live", False):
+        argv.append("--live")
     if args.config is not None:
         argv += ["--config", str(args.config)]
     return argv
@@ -498,6 +607,10 @@ def main(argv=None) -> int:
                     help="config #4 'until convergence' semantics: 100k "
                          "uniform seed on basement_fixed, measure "
                          "time/updates to converge + success rate")
+    ap.add_argument("--live", action="store_true",
+                    help="live-loop corrections/s through MCLNode's async "
+                         "pipeline: plain (live_chunk=1) vs micro-chunked "
+                         "(8, 32) dispatch, with measured pose staleness")
     args = ap.parse_args(argv)
 
     if args.all:
@@ -523,6 +636,10 @@ def main(argv=None) -> int:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
     if args.converge:
         print(json.dumps(run_converge(quick=args.quick, method=args.method)))
+        return 0
+    if args.live:
+        for line in run_live(quick=args.quick, method=args.method):
+            print(json.dumps(line))
         return 0
     if args.config is not None:
         print(json.dumps(run_config(args.config, quick=args.quick,

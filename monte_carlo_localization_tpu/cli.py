@@ -52,6 +52,8 @@ def _load_cfg(args) -> "MCLConfig":
         overrides["resample_method"] = args.resample
     if getattr(args, "async_correction", False):
         overrides["async_correction"] = True
+    if getattr(args, "live_chunk", None) is not None:
+        overrides["live_chunk"] = args.live_chunk
     return cfg.replace(**overrides) if overrides else cfg
 
 
@@ -359,6 +361,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="pipeline corrections: dispatch without blocking, "
                     "harvest poses as the device finishes (~2x the live "
                     "rate on remote-attached accelerators)")
+    lv.add_argument("--live-chunk", type=int, default=None, dest="live_chunk",
+                    help="with --async-correction: buffer K ticks and "
+                    "dispatch them as one step_many(K) — amortizes the "
+                    "per-dispatch overhead over K corrections at <= K-1 "
+                    "ticks of extra pose latency (1 = off)")
     lv.add_argument("-v", "--verbose", action="store_true")
     lv.set_defaults(fn=cmd_live, resample=None)
 

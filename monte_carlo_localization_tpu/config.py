@@ -90,12 +90,15 @@ class MCLConfig:
     # grid overhead (80 ~9% over 16 at 4000x1080 on v5e) at the cost of
     # 2*block*window_bytes VMEM scratch.
     pallas_block: int = 80
-    # unique-window DMA dedup (lut_pallas, single filter only): -1 = auto
-    # (8 slots when max_particles >= 16384 — giant clouds are DMA-issue
-    # bound once converged), 0 = off, S > 0 = force S slots/block. Safe
-    # for any workload: blocks with > S distinct windows fall back to the
-    # one-DMA-per-particle kernel inside the same jitted step.
-    pallas_dedup_slots: int = -1
+    # unique-window DMA dedup (lut_pallas, single filter only): 0 = off
+    # (the default), S > 0 = force S slots/block, -1 = auto (off). Kept as
+    # a MEASURED NEGATIVE RESULT (PERF.md): on v5e the dynamic-VMEM-index
+    # read Mosaic emits for the slot lookup costs ~10us/particle — ~180x
+    # the DMA issues it saves — and the kernel was never the config #4
+    # bottleneck anyway (the fused likelihood is ~5 ms at 100k). Blocks
+    # with > S distinct windows fall back to the one-DMA-per-particle
+    # kernel inside the same jitted step, so the path stays correct.
+    pallas_dedup_slots: int = 0
     resample_method: str = "systematic"  # "systematic" | "multinomial" (reference compat)
     exact_dt_heuristic: bool = True  # reproduce reference dt reconstruction (:452-471)
     # pipeline live corrections: dispatch without blocking, harvest poses
@@ -108,6 +111,12 @@ class MCLConfig:
     # the blocking rate through a remote-TPU tunnel; very deep pipelines
     # (16+) can stall remote transports outright — keep this small.
     async_depth: int = 4
+    # micro-chunked live corrections (async path only): buffer K ticks of
+    # (action, scan) and dispatch them as ONE step_many(K) — the per-
+    # dispatch host->device overhead then amortizes over K corrections,
+    # trading <= K-1 ticks of extra pose latency (the anchor's staleness
+    # compensation measures and corrects the delay exactly). 1 = off.
+    live_chunk: int = 1
     dtype: str = "float32"
     seed: int = 0
 

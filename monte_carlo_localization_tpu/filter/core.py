@@ -289,15 +289,12 @@ def build_pallas_likelihood(
 
 def _resolve_dedup_slots(cfg: MCLConfig, num_particles: int,
                          num_members: int) -> int:
-    """-1 (auto) enables 8 unique-window slots for giant single-member
-    clouds (>= 16384 particles), where the kernel is scalar-core
-    DMA-issue bound; small clouds skip the sort/rank prep overhead."""
+    """Explicit S > 0 forces the unique-window kernel (single member
+    only); -1 (auto) resolves to OFF — the dedup kernel is a measured
+    negative result on v5e (see ``MCLConfig.pallas_dedup_slots``)."""
     if num_members > 1:
         return 0
-    s = cfg.pallas_dedup_slots
-    if s < 0:
-        return 8 if num_particles >= 16384 else 0
-    return s
+    return max(cfg.pallas_dedup_slots, 0)
 
 
 class ParticleFilter:

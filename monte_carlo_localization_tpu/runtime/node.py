@@ -68,6 +68,10 @@ class MCLNode:
         log: Callable[[str], None] = lambda s: None,
     ):
         self.config = config or MCLConfig()
+        if self.config.live_chunk < 1:
+            raise ValueError(
+                f"live_chunk must be >= 1, got {self.config.live_chunk}"
+            )
         self.map = grid_map
         self.log = log
         self.filter = ParticleFilter(grid_map, self.config)
@@ -97,6 +101,9 @@ class MCLNode:
         self._inflight_q: collections.deque = collections.deque()
         self._last_dispatch_mono: float | None = None
         self._last_harvest_mono: float | None = None
+        # live_chunk > 1: per-tick (action, scan) pairs awaiting a chunked
+        # step_many dispatch (see _update_async_chunked)
+        self._chunk_buf: list[tuple[np.ndarray, np.ndarray]] = []
         self._in_replay = False  # replay drives sim time: always sync there
 
         # Augmented-MCL auto re-localization monitor (config.auto_reinit).
@@ -157,6 +164,7 @@ class MCLNode:
         poses describe the abandoned belief and must never re-anchor the
         tracker at it."""
         self._inflight_q.clear()
+        self._chunk_buf.clear()
         self._last_dispatch_mono = None
         self._last_harvest_mono = None
 
@@ -239,6 +247,8 @@ class MCLNode:
         LiveRunner) publishes the returned pose, so each correction
         reaches the sinks exactly once.
         """
+        if self.config.live_chunk > 1:
+            return self._update_async_chunked(action, now)
         # ---- dispatch first (if the queue has room) ----
         if (
             len(self._inflight_q) < self.config.async_depth
@@ -263,8 +273,12 @@ class MCLNode:
             # carry this CORRECTION's quality scalar with its pose: it is
             # ready when the pose is, so the auto-reinit monitor never
             # blocks on the still-running newer dispatches (reading
-            # self.state.log_quality at harvest time would)
-            q_dev = self.state.log_quality
+            # self.state.log_quality at harvest time would). COPY it out
+            # of the state pytree: the step donates its input state
+            # (donate_argnums), so the NEXT dispatch invalidates every
+            # buffer of this state — a harvest after that would read a
+            # deleted array.
+            q_dev = self._detached_quality()
             try:
                 # start the device->host copy NOW so the round-trip
                 # latency of consecutive readbacks overlaps instead of
@@ -272,12 +286,89 @@ class MCLNode:
                 pose_dev.copy_to_host_async()
             except AttributeError:
                 pass
-            self._inflight_q.append((pose_dev, q_dev, t_mono))
+            self._inflight_q.append((pose_dev, q_dev, t_mono, 1))
 
-        # ---- harvest every finished correction, oldest first ----
+        return self._harvest_inflight(now)
+
+    def _update_async_chunked(self, action, now: float) -> np.ndarray | None:
+        """Micro-chunked pipelined corrections (``live_chunk`` = K > 1).
+
+        Every tick buffers its (action, scan) pair host-side; once K are
+        buffered (and the in-flight queue has room) they dispatch as ONE
+        ``step_many(K)`` — the ~3 ms per-dispatch tunnel overhead then
+        amortizes over K corrections, trading ≤ K-1 ticks of extra pose
+        latency. The anchor's delay compensation measures that staleness
+        exactly (the LAST scan of a chunk is fresh at dispatch, so
+        now - t_dispatch is its true age at harvest). If the device falls
+        behind the tick rate the two oldest buffered ticks MERGE (actions
+        sum — the same small-increment composition the plain async path
+        uses for polled ticks; the older scan drops), so odometry
+        displacement is never lost and the buffer stays bounded at 2K.
+        """
+        K = int(self.config.live_chunk)
+        if self.downsampled_ranges is not None:
+            if len(self._chunk_buf) >= 2 * K:
+                a_old, _ = self._chunk_buf.pop(0)
+                a_next, s_next = self._chunk_buf[0]
+                self._chunk_buf[0] = (a_old + a_next, s_next)
+            self._chunk_buf.append(
+                (
+                    np.asarray(action, dtype=np.float32),
+                    np.array(self.downsampled_ranges, dtype=np.float32),
+                )
+            )
+        if (
+            len(self._chunk_buf) >= K
+            and len(self._inflight_q) < self.config.async_depth
+        ):
+            chunk, self._chunk_buf = self._chunk_buf[:K], self._chunk_buf[K:]
+            actions = np.stack([c[0] for c in chunk])
+            scans = np.stack([c[1] for c in chunk])
+            t_mono = time.monotonic()
+            self._last_dispatch_mono = t_mono
+            self.state, poses_dev = self.filter.step_many(
+                self.state, actions, scans
+            )
+            # copied out of the donated state pytree — see _update_async
+            q_dev = self._detached_quality()
+            try:
+                poses_dev.copy_to_host_async()
+            except AttributeError:
+                pass
+            self._inflight_q.append((poses_dev, q_dev, t_mono, K))
+        return self._harvest_inflight(now)
+
+    def _detached_quality(self):
+        """The current state's ``log_quality`` scalar as a buffer that
+        SURVIVES the next dispatch. ``ParticleFilter.step``/``step_many``
+        donate their input state, so every array still referencing the
+        previous state's pytree is invalidated at the next call; the
+        in-flight queue must hold an independent copy (enqueued now, on
+        the same device stream, so it completes before any donation can
+        reuse the buffer). Non-jax filters (test fakes) pass through."""
+        q = self.state.log_quality
+        try:
+            q = q.copy()
+        except AttributeError:
+            return q
+        try:
+            # start the device->host transfer NOW: the harvest reads this
+            # scalar with float(), and a cold blocking readback through a
+            # remote-attached transport costs a full ~80 ms round trip —
+            # per harvested correction, it was THE live-rate ceiling
+            q.copy_to_host_async()
+        except AttributeError:
+            pass
+        return q
+
+    def _harvest_inflight(self, now: float) -> np.ndarray | None:
+        """Harvest every finished in-flight dispatch, oldest first. An
+        entry carries ``count`` corrections (1 for plain async, K for a
+        chunk); all its poses reach the sinks, the freshest drives the
+        anchor/monitor, and the overall freshest is returned."""
         pose = None
         while self._inflight_q:
-            pose_dev, q_dev, t_disp = self._inflight_q[0]
+            pose_dev, q_dev, t_disp, count = self._inflight_q[0]
             try:
                 ready = pose_dev.is_ready()
             except AttributeError:  # older jax: no non-blocking probe
@@ -289,21 +380,28 @@ class MCLNode:
                 # pose the caller will never see — publish it here so
                 # sinks receive every correction
                 self.publish_correction(now, pose)
-            pose = np.asarray(
+            arr = np.asarray(
                 jax.block_until_ready(pose_dev), dtype=np.float64
             )
+            if count > 1:
+                # intermediate corrections of the chunk: sinks only — the
+                # chunk's final pose is the one that refreshes the anchor
+                for mid in arr[:-1]:
+                    self.publish_correction(now, mid)
+                pose = arr[-1]
+            else:
+                pose = arr
             self._inflight_q.popleft()
             t_now = time.monotonic()
-            # Two distinct times per harvested correction:
-            # * MARGINAL time — what this correction added on top of the
+            # Two distinct times per harvested dispatch:
+            # * MARGINAL time — what this dispatch added on top of the
             #   previous one (from max(dispatch, previous harvest) to
-            #   now). This is the honest per-correction cost for
-            #   TimingStats: with the pipeline full it converges to the
-            #   true device step time, never the depth x queue wait.
-            # * STALENESS — now minus this correction's dispatch, i.e.
-            #   exactly how old the scan/odometry behind this pose is.
-            #   That (and only that) drives the anchor's delay
-            #   compensation below.
+            #   now). This is the honest cost for TimingStats: with the
+            #   pipeline full it converges to the true device time for
+            #   ``count`` corrections, never the depth x queue wait.
+            # * STALENESS — now minus this dispatch, i.e. exactly how old
+            #   the freshest scan behind this pose is. That (and only
+            #   that) drives the anchor's delay compensation below.
             base = (
                 t_disp
                 if self._last_harvest_mono is None
@@ -311,7 +409,7 @@ class MCLNode:
             )
             self._last_harvest_mono = t_now
             self.stats.total_mcl_time += (t_now - base) * 1e3
-            self.stats.measurement_count += 1
+            self.stats.measurement_count += count
             self._post_correction(
                 pose,
                 log_q=float(q_dev),

@@ -140,6 +140,128 @@ def test_anchor_gets_exact_staleness_with_unit_factor(async_node):
         assert 2 * STEP_S * 1e3 < kw["avg_mcl_ms"] < 6 * STEP_S * 1e3
 
 
+class FakeChunkDevice:
+    """filter stand-in for ``live_chunk``: ``step_many`` executes chunks
+    serially, each taking ``chunk_s`` of fake-clock time — modeling the
+    amortization (one dispatch overhead per K corrections)."""
+
+    def __init__(self, clock: FakeClock, chunk_s: float = STEP_S):
+        self.clock = clock
+        self.chunk_s = chunk_s
+        self.last_done = clock.now
+        self.dispatches = 0
+        self.seen_actions: list[np.ndarray] = []
+
+    def step_many(self, state, actions, scans):
+        assert actions.shape[0] == scans.shape[0]
+        self.dispatches += 1
+        self.seen_actions.append(np.asarray(actions, np.float64).copy())
+        done = max(self.clock.now, self.last_done) + self.chunk_s
+        self.last_done = done
+        poses = np.tile(
+            np.array([1.25, 2.25, 0.3], np.float64), (actions.shape[0], 1)
+        ).view(FakePose)
+        poses.clock = self.clock
+        poses.done_time = done
+        return SimpleNamespace(log_quality=np.float64(-1.0)), poses
+
+
+class CountingSink:
+    def __init__(self):
+        self.n_poses = 0
+
+    def wants(self, topic: str) -> bool:
+        return topic == "pose"
+
+    def publish(self, topic, t, payload):
+        self.n_poses += 1
+
+    def close(self):
+        pass
+
+
+@pytest.fixture
+def chunked_node(box_map, monkeypatch):
+    cfg = MCLConfig(
+        max_particles=64, async_correction=True, async_depth=2,
+        live_chunk=4, raycast_method="lut",
+    )
+    node = MCLNode(box_map, cfg, rng_seed=0)
+    clock = FakeClock()
+    monkeypatch.setattr(
+        node_mod, "time", SimpleNamespace(monotonic=clock.monotonic)
+    )
+    node.filter = FakeChunkDevice(clock)
+    node.lidar_initialized = True
+    node.downsampled_ranges = np.full(16, 2.0, np.float32)
+    node.on_odometry(0.0, 0.0, 0.0, 1.0, 0.0, stamp=clock.now)
+    return node, clock
+
+
+def test_chunked_dispatch_every_k_ticks(chunked_node):
+    """K=4 ticks buffer into one step_many dispatch; every correction of
+    every harvested chunk reaches the outputs exactly once (sinks for the
+    superseded ones, the returned pose for the freshest)."""
+    node, clock = chunked_node
+    sink = CountingSink()
+    node.add_sink(sink)
+    returned = 0
+    for _ in range(40):
+        if node.update(now=clock.advance(TICK_S)) is not None:
+            returned += 1
+    dev = node.filter
+    # 40 ticks / K=4 -> ~10 chunks (modulo pipeline fill)
+    assert 8 <= dev.dispatches <= 10, dev.dispatches
+    # every harvested correction surfaced exactly once
+    harvested = node.stats.measurement_count
+    assert harvested % 4 == 0 and harvested >= 4 * (dev.dispatches - 2)
+    assert sink.n_poses + returned == harvested
+    # per-tick actions: v=1.0 x TICK_S each, never doubled or dropped
+    for a in dev.seen_actions:
+        np.testing.assert_allclose(a[:, 0], TICK_S, rtol=1e-6)
+
+
+def test_chunked_avg_total_ms_amortizes(chunked_node):
+    """Marginal-time accounting: a full pipeline records ~chunk_s per K
+    corrections -> avg_total_ms ~= chunk_s / K, the amortized rate."""
+    node, clock = chunked_node
+    for _ in range(24):
+        node.update(now=clock.advance(TICK_S))
+    node.stats.reset()
+    for _ in range(80):
+        node.update(now=clock.advance(TICK_S))
+    assert node.stats.measurement_count >= 16
+    avg = node.stats.avg_total_ms
+    assert avg == pytest.approx(STEP_S * 1e3 / 4, rel=0.25), avg
+
+
+def test_chunked_merge_preserves_displacement(chunked_node):
+    """The 2K buffer cap (a safety net — backpressure via the blocking
+    harvest normally keeps the buffer ~K) merges the two OLDEST ticks by
+    summing their actions, so odometry displacement is never dropped."""
+    node, clock = chunked_node
+    K = node.config.live_chunk
+    node._last_update_time = clock.now  # first update() tick only primes dt
+    # pre-fill the buffer to the cap, each tick carrying 0.025 m forward
+    scan = np.full(16, 2.0, np.float32)
+    node._chunk_buf = [
+        (np.array([TICK_S, 0.0, 0.0], np.float32), scan.copy())
+        for _ in range(2 * K)
+    ]
+    pre = sum(float(a[0]) for a, _ in node._chunk_buf)
+    node.update(now=clock.advance(TICK_S))  # one more tick: triggers merge
+    dispatched = sum(a[:, 0].sum() for a in node.filter.seen_actions)
+    buffered = sum(float(a[0]) for a, _ in node._chunk_buf)
+    assert len(node._chunk_buf) <= 2 * K
+    # merged entry carries BOTH ticks' displacement: nothing lost
+    assert dispatched + buffered == pytest.approx(
+        pre + TICK_S, rel=1e-5
+    ), (dispatched, buffered)
+    # the merged (doubled) action sits at the front of what was dispatched
+    assert node.filter.seen_actions, "cap should not block dispatch"
+    assert node.filter.seen_actions[0][0, 0] == pytest.approx(2 * TICK_S)
+
+
 def test_sync_path_accounting_unchanged(box_map, monkeypatch):
     """The blocking path still records the full per-correction wall time
     and compensates with avg_total_ms x the configured factor."""

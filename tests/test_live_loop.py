@@ -204,6 +204,39 @@ def test_async_correction_pipeline(clutter_map, beams60, make_scan):
     assert err < 0.3, poses[-1]
 
 
+def test_async_chunked_live_localizes(clutter_map, beams60, make_scan):
+    """live_chunk=4 micro-chunking through the REAL filter: every 4 ticks
+    dispatch one step_many(4); the filter still localizes, every
+    correction is counted, and poses stay finite."""
+    node, true_pose, scan = _make_node(
+        clutter_map, beams60, make_scan,
+        async_correction=True, live_chunk=4,
+    )
+    poses = []
+    t = 0.1
+    for _ in range(60):
+        node.on_scan(scan, beam_angles=beams60)
+        p = node.update(now=t)
+        if p is not None:
+            poses.append(p)
+        t += 0.02
+        time.sleep(0.001)
+    # drain whatever is still buffered/in flight
+    for _ in range(20):
+        p = node.update(now=t)
+        t += 0.02
+        if p is not None:
+            poses.append(p)
+        time.sleep(0.002)
+    assert len(poses) >= 3, "chunked pipeline produced too few harvests"
+    # corrections are counted per chunk member, not per harvest
+    assert node.stats.measurement_count >= 4 * len(poses) - 4
+    poses = np.asarray(poses)
+    assert np.isfinite(poses).all()
+    err = np.linalg.norm(poses[-1][:2] - true_pose[:2])
+    assert err < 0.3, poses[-1]
+
+
 def test_async_ignored_during_replay(clutter_map, beams60, make_scan):
     """replay() must stay synchronous even with async_correction on —
     sim-time replay has no wall clock for the pipeline to poll against."""

@@ -454,14 +454,19 @@ class TestDedupKernel:
             _resolve_dedup_slots,
         )
 
+        # auto (-1) resolves to OFF everywhere: the dedup kernel is a
+        # measured negative result on v5e (dynamic VMEM index lookup,
+        # ~10us/particle — see MCLConfig.pallas_dedup_slots / PERF.md).
         auto = MCLConfig()
         assert _resolve_dedup_slots(auto, 4000, 1) == 0
-        assert _resolve_dedup_slots(auto, 100_000, 1) == 8
+        assert _resolve_dedup_slots(auto, 100_000, 1) == 0
         assert _resolve_dedup_slots(auto, 100_000, 4) == 0  # fleet: off
         off = MCLConfig(pallas_dedup_slots=0)
         assert _resolve_dedup_slots(off, 100_000, 1) == 0
         forced = MCLConfig(pallas_dedup_slots=16)
         assert _resolve_dedup_slots(forced, 256, 1) == 16
+        forced_fleet = MCLConfig(pallas_dedup_slots=16)
+        assert _resolve_dedup_slots(forced_fleet, 256, 4) == 0  # fleet: off
 
     def test_filter_end_to_end_with_dedup(self, clutter_map, beams60,
                                           make_scan):
