@@ -3,6 +3,11 @@ from monte_carlo_localization_tpu.parallel.fleet import (
     FleetState,
     stack_maps,
 )
+from monte_carlo_localization_tpu.parallel.multihost import (
+    MultiHostFleet,
+    init_multihost,
+    multihost_mesh,
+)
 from monte_carlo_localization_tpu.parallel.sharded import ShardedParticleFilter
 
 __all__ = [
@@ -10,4 +15,7 @@ __all__ = [
     "FleetState",
     "stack_maps",
     "ShardedParticleFilter",
+    "MultiHostFleet",
+    "init_multihost",
+    "multihost_mesh",
 ]

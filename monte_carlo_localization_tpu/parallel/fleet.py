@@ -133,6 +133,22 @@ def is_batched_map(grid_map: GridMap) -> bool:
     return grid_map.occupancy.ndim == 3
 
 
+def _global_put(x, sharding: NamedSharding):
+    """Place host-computed data onto a sharding that may span processes.
+
+    ``jax.device_put`` rejects shardings with non-addressable devices
+    (the multi-host fleet mesh, parallel/multihost.py); every process
+    holds the SAME full host value (deterministic init from one seed), so
+    each can materialize exactly its addressable shards via the callback
+    path. Single-process meshes keep the plain device_put fast path.
+    """
+    if all(d.process_index == 0 for d in sharding.device_set):
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(
+        x.shape, sharding, lambda idx: x[idx]
+    )
+
+
 class FleetFilter:
     """F independent filters as one jitted step, sharded over a mesh axis.
 
@@ -416,9 +432,9 @@ class FleetFilter:
             else P(self.fleet_axis),
         )
         return FleetState(
-            particles=jax.device_put(state.particles, psh),
-            log_weights=jax.device_put(state.log_weights, psh),
-            keys=jax.device_put(state.keys, fs),
+            particles=_global_put(state.particles, psh),
+            log_weights=_global_put(state.log_weights, psh),
+            keys=_global_put(state.keys, fs),
         )
 
     def init_global(self, seed: int = 0) -> FleetState:
