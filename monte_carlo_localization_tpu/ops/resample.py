@@ -30,17 +30,32 @@ def systematic_resample_indices(
 ) -> jnp.ndarray:
     """Low-variance systematic resampling.
 
-    One uniform offset u0 ~ U[0,1); target positions (i + u0)/N are inverted
-    through the weight CDF with a vectorized searchsorted. O(N log N) work,
-    single kernel, far lower variance than multinomial.
+    One uniform offset u0 ~ U[0,1); target position (i + u0)/M for output
+    slot i is inverted through the weight CDF. The textbook inversion is
+    ``searchsorted(cdf, positions)``, but XLA:TPU lowers that binary search
+    to ~log2(N) serialized gather rounds (~15 ms at N=100k — it dominated
+    config #4's step). Instead the inversion is computed scatter-side in
+    O(N): source j's FIRST output slot is ``floor(M·cdf[j-1] - u0) + 1``;
+    scatter j there (slot collisions between zero-count sources and the one
+    covering source resolve with ``max`` — the covering source always has
+    the largest j at that slot) and forward-fill with a cumulative max.
+    One scatter + one cummax, no gathers; bit-identical to the
+    searchsorted formulation (pinned by tests/test_resample.py).
     """
-    n = log_weights.shape[0] if num_samples is None else num_samples
+    n = log_weights.shape[0]
+    m = n if num_samples is None else num_samples
     w = _normalized_weights(log_weights)
     cdf = jnp.cumsum(w)
     u0 = jax.random.uniform(key, ())
-    positions = (jnp.arange(n, dtype=cdf.dtype) + u0) / n
-    idx = jnp.searchsorted(cdf, positions)
-    return jnp.clip(idx, 0, log_weights.shape[0] - 1).astype(jnp.int32)
+    # g[j] = M·cdf[j] - u0: source j owns output slots (g[j-1], g[j]]
+    g = m * cdf - u0
+    first_slot = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.floor(g[:-1]).astype(jnp.int32) + 1]
+    )
+    src = jnp.arange(n, dtype=jnp.int32)
+    # slots >= M (sources past the last position) drop out of the scatter
+    seeded = jnp.zeros(m, jnp.int32).at[first_slot].max(src, mode="drop")
+    return jax.lax.cummax(seeded)
 
 
 def resample_indices(

@@ -59,6 +59,34 @@ def test_resample_different_sample_count():
     assert np.asarray(idx).max() < 10
 
 
+def _searchsorted_oracle(key, logw, m):
+    """The textbook inversion the production scatter+cummax form must
+    match bit-for-bit (same key -> same u0, same f32 math)."""
+    n = logw.shape[0]
+    w = jax.nn.softmax(logw)
+    cdf = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, ())
+    positions = (jnp.arange(m, dtype=cdf.dtype) + u0) / m
+    return jnp.clip(jnp.searchsorted(cdf, positions), 0, n - 1).astype(jnp.int32)
+
+
+def test_systematic_matches_searchsorted_oracle():
+    rng = np.random.default_rng(7)
+    for n, m in [(1, 1), (2, 2), (7, 7), (10, 25), (25, 10), (1000, 1000),
+                 (4096, 4096)]:
+        for trial in range(5):
+            logw = jnp.asarray(
+                rng.standard_normal(n).astype(np.float32)
+                * rng.uniform(0.1, 8.0)
+            )
+            key = jax.random.key(n * 100 + trial)
+            got = systematic_resample_indices(key, logw, num_samples=m)
+            want = _searchsorted_oracle(key, logw, m)
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(want), err_msg=f"n={n} m={m}"
+            )
+
+
 def test_unknown_method():
     with pytest.raises(ValueError):
         resample_indices(jax.random.key(0), jnp.zeros(4), method="bogus")
