@@ -47,15 +47,44 @@ def systematic_resample_indices(
     w = _normalized_weights(log_weights)
     cdf = jnp.cumsum(w)
     u0 = jax.random.uniform(key, ())
-    # g[j] = M·cdf[j] - u0: source j owns output slots (g[j-1], g[j]]
-    g = m * cdf - u0
-    first_slot = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.floor(g[:-1]).astype(jnp.int32) + 1]
+    return systematic_invert_cdf_window(cdf, u0, m, 0, m)
+
+
+def systematic_invert_cdf_window(
+    cdf: jnp.ndarray,
+    u0: jnp.ndarray,
+    num_samples: int,
+    slot0,
+    window: int,
+) -> jnp.ndarray:
+    """Invert a systematic-resampling CDF for output slots
+    ``[slot0, slot0 + window)`` — scatter-side, no gathers.
+
+    With ``g[j] = num_samples·cdf[j] - u0``, source j owns output slots
+    ``(g[j-1], g[j]]``, so its first slot is ``floor(g[j-1]) + 1``. Scatter
+    j into the window (out-of-window slots drop; collisions between
+    zero-count sources and the covering source resolve with ``max`` — the
+    covering source always carries the largest j at its slot), seed slot 0
+    with the boundary source covering ``slot0`` (the smallest j with
+    ``g[j] >= slot0``, i.e. ``#{j: g[j] < slot0}`` — a pure reduction),
+    and forward-fill with a cumulative max. ``slot0`` may be traced (the
+    sharded filter passes ``shard · n_local``); ``window`` must be static.
+    Returns int32 ``(window,)`` source indices.
+    """
+    n = cdf.shape[0]
+    g = num_samples * cdf - u0
+    first_slot = (
+        jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.floor(g[:-1]).astype(jnp.int32) + 1]
+        )
+        - slot0
     )
     src = jnp.arange(n, dtype=jnp.int32)
-    # slots >= M (sources past the last position) drop out of the scatter
-    seeded = jnp.zeros(m, jnp.int32).at[first_slot].max(src, mode="drop")
-    return jax.lax.cummax(seeded)
+    seeded = jnp.zeros(window, jnp.int32).at[first_slot].max(src, mode="drop")
+    j0 = jnp.sum((g < slot0).astype(jnp.int32))
+    seeded = seeded.at[0].max(j0)
+    return jnp.clip(jax.lax.cummax(seeded), 0, n - 1)
 
 
 def resample_indices(

@@ -36,6 +36,9 @@ from monte_carlo_localization_tpu.filter.init import initialize_global
 from monte_carlo_localization_tpu.mapping.grid_map import GridMap
 from monte_carlo_localization_tpu.models.motion import motion_model
 from monte_carlo_localization_tpu.models.sensor import SensorModel
+from monte_carlo_localization_tpu.ops.resample import (
+    systematic_invert_cdf_window,
+)
 
 
 class ShardedParticleFilter:
@@ -146,20 +149,18 @@ class ShardedParticleFilter:
             # folded, so every shard draws the identical value
             u0 = jax.random.uniform(k_resample, ())
 
-            # positions owned by this shard's OUTPUT slots
-            slot0 = shard * n_local
-            positions = (
-                jnp.arange(n_local, dtype=w.dtype) + slot0.astype(w.dtype) + u0
-            ) / n_total
-
             # source rows can live on any shard: gather the full particle
             # matrix (N x 3) and the full CDF once over ICI
             all_particles = jax.lax.all_gather(
                 particles, axis
             ).reshape(n_total, 3)
             all_cdf = jax.lax.all_gather(global_cdf_local, axis).reshape(-1)
-            src = jnp.clip(
-                jnp.searchsorted(all_cdf, positions), 0, n_total - 1
+            # CDF inversion for this shard's output slots [slot0, slot0 +
+            # n_local), scatter-side — no searchsorted, whose binary search
+            # XLA:TPU lowers to serialized gather rounds (see
+            # ops/resample.systematic_invert_cdf_window)
+            src = systematic_invert_cdf_window(
+                all_cdf, u0, n_total, shard * n_local, n_local
             )
             proposal = all_particles[src]
 

@@ -87,6 +87,39 @@ def test_systematic_matches_searchsorted_oracle():
             )
 
 
+def test_windowed_inversion_matches_oracle():
+    """The sharded filter inverts the global CDF one output-slot window per
+    shard (ops/resample.systematic_invert_cdf_window); stitching every
+    shard's window together must reproduce the full searchsorted oracle."""
+    from monte_carlo_localization_tpu.ops.resample import (
+        systematic_invert_cdf_window,
+    )
+
+    rng = np.random.default_rng(11)
+    for n_total, n_shards in [(64, 8), (100, 4), (96, 1), (8, 8)]:
+        n_local = n_total // n_shards
+        for trial in range(5):
+            logw = jnp.asarray(
+                rng.standard_normal(n_total).astype(np.float32)
+                * rng.uniform(0.1, 8.0)
+            )
+            key = jax.random.key(trial)
+            want = np.asarray(_searchsorted_oracle(key, logw, n_total))
+            cdf = jnp.cumsum(jax.nn.softmax(logw))
+            u0 = jax.random.uniform(key, ())
+            got = np.concatenate([
+                np.asarray(
+                    systematic_invert_cdf_window(
+                        cdf, u0, n_total, shard * n_local, n_local
+                    )
+                )
+                for shard in range(n_shards)
+            ])
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"n={n_total} shards={n_shards}"
+            )
+
+
 def test_unknown_method():
     with pytest.raises(ValueError):
         resample_indices(jax.random.key(0), jnp.zeros(4), method="bogus")
