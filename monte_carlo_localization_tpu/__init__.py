@@ -11,7 +11,7 @@ TPU-first rather than ported:
   reference's per-cell DDA loops (reference: src/particle_filter.cpp:611-650),
 * weights live in log-space (the reference multiplies 60 doubles,
   src/particle_filter.cpp:564-579 — at 1080 beams fp32 would underflow),
-* resampling is systematic (cumsum + searchsorted) with a multinomial
+* resampling is systematic (cumsum + scatter/cummax CDF inversion) with a multinomial
   compatibility mode matching the reference (src/particle_filter.cpp:657-665),
 * fleets of independent filters vmap/shard over a device mesh, and a single
   giant filter can shard its particle axis with jax collectives.

@@ -5,7 +5,7 @@ sequential phases with per-phase timers and an O(N*R*max_range_px) OpenMP
 ray-cast loop in the middle (reference src/particle_filter.cpp:652-694).
 Here the whole correction is ONE XLA computation:
 
-    resample (cumsum + searchsorted, or categorical)        [reference :657-665]
+    resample (cumsum + scatter/cummax inversion, or categorical) [reference :657-665]
  -> motion (vectorized arc update + jax.random noise)       [reference :449-503]
  -> likelihood (sphere-marching ray cast + log-LUT gather)  [reference :506-650]
  -> weight normalization in log space                       [reference :679-686]

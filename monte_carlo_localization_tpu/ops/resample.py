@@ -2,9 +2,9 @@
 
 The reference uses multinomial resampling via std::discrete_distribution
 (reference src/particle_filter.cpp:657-665). The TPU engine defaults to
-low-variance systematic resampling (cumsum + searchsorted — one scan and one
-vectorized binary search instead of N sequential draws) and keeps multinomial
-as a compatibility mode. Both operate on LOG weights, normalized internally.
+low-variance systematic resampling (cumsum + a gather-free scatter/cummax
+CDF inversion instead of N sequential draws) and keeps multinomial as a
+compatibility mode. Both operate on LOG weights, normalized internally.
 """
 
 from __future__ import annotations
