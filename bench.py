@@ -518,11 +518,13 @@ def run_headline(quick=False, method="lut_pallas"):
     )
 
 
-def _child_args(args, method):
+def _child_args(args, method, cpu=False):
     argv = [sys.executable, os.path.abspath(__file__), "--no-watchdog",
             "--method", method]
     if args.quick:
         argv.append("--quick")
+    if cpu:
+        argv.append("--cpu")
     if getattr(args, "converge", False):
         argv.append("--converge")
     if getattr(args, "live", False):
@@ -530,6 +532,23 @@ def _child_args(args, method):
     if args.config is not None:
         argv += ["--config", str(args.config)]
     return argv
+
+
+def _accelerator_alive(timeout_s: float = 180.0) -> bool:
+    """True if a trivial program initializes and runs on the default
+    (accelerator) backend within ``timeout_s`` — distinguishes an
+    unreachable device tunnel from a merely-slow compile."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jax.devices(); "
+             "jnp.zeros(8).block_until_ready(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True,
+            cwd=str(REPO_ROOT),
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return proc.returncode == 0 and "ok" in proc.stdout
 
 
 def _run_with_watchdog(args) -> int:
@@ -548,7 +567,10 @@ def _run_with_watchdog(args) -> int:
     if args.method != "lut":
         attempts += [args.method, "lut"]
     retried_after_timeout = False
+    accelerator_dead = False
     for i, method in enumerate(attempts):
+        if accelerator_dead:
+            break
         if (
             i == 1
             and attempts[1] == attempts[0]
@@ -563,12 +585,23 @@ def _run_with_watchdog(args) -> int:
                 text=True,
                 cwd=str(REPO_ROOT),
             )
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
             print(
                 f"# bench: method={method} timed out after {timeout}s",
                 file=sys.stderr,
             )
             retried_after_timeout = True
+            # distinguish a slow compile from an unreachable accelerator
+            # tunnel: a trivial device program must initialize + run well
+            # inside 180 s even with a cold compile. If the probe hangs,
+            # retrying the device is pointless.
+            if not _accelerator_alive():
+                print(
+                    "# bench: accelerator probe hung — tunnel unreachable; "
+                    "falling back to CPU",
+                    file=sys.stderr,
+                )
+                accelerator_dead = True
             continue
         lines = [
             ln for ln in proc.stdout.splitlines() if ln.startswith("{")
@@ -584,6 +617,33 @@ def _run_with_watchdog(args) -> int:
         )
         if method == "lut":
             break
+    # Last resort: record SOMETHING honest rather than nothing. A dead
+    # accelerator tunnel at bench time would otherwise leave an empty
+    # record; run the lut path on the CPU backend instead, clearly
+    # labeled as NOT the accelerator metric.
+    sub = argparse.Namespace(**vars(args))
+    sub.quick = True  # the fallback is diagnostic — keep it cheap
+    try:
+        proc = subprocess.run(
+            _child_args(sub, "lut", cpu=True),
+            timeout=max(timeout, 1800.0),
+            capture_output=True,
+            text=True,
+            cwd=str(REPO_ROOT),
+        )
+    except subprocess.TimeoutExpired:
+        print("# bench: cpu fallback timed out", file=sys.stderr)
+        return 1
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    if proc.returncode == 0 and lines:
+        for ln in lines:
+            print(ln)
+        return 0
+    print(
+        f"# bench: cpu fallback failed rc={proc.returncode}\n"
+        + proc.stderr[-2000:],
+        file=sys.stderr,
+    )
     return 1
 
 
@@ -603,6 +663,10 @@ def main(argv=None) -> int:
                          "of fresh programs can take minutes)")
     ap.add_argument("--no-watchdog", action="store_true",
                     help="run in-process (internal: watchdog child mode)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend and label the output as a "
+                         "fallback (internal: used by the watchdog when "
+                         "the accelerator tunnel is unreachable)")
     ap.add_argument("--converge", action="store_true",
                     help="config #4 'until convergence' semantics: 100k "
                          "uniform seed on basement_fixed, measure "
@@ -634,18 +698,36 @@ def main(argv=None) -> int:
         return _run_with_watchdog(args)
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+    if args.cpu:
+        # this box exports JAX_PLATFORMS=axon globally and the plugin wins
+        # over a plain env override — force CPU through every channel
+        # before jax initializes (same recipe as tests/conftest.py)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    def _emit(res):
+        if args.cpu:
+            res["method"] = str(res.get("method", args.method)) + "+cpu"
+            res["note"] = (
+                "accelerator unreachable at bench time — CPU-backend "
+                "fallback, NOT the accelerator metric"
+            )
+        print(json.dumps(res))
+
     if args.converge:
-        print(json.dumps(run_converge(quick=args.quick, method=args.method)))
+        _emit(run_converge(quick=args.quick, method=args.method))
         return 0
     if args.live:
         for line in run_live(quick=args.quick, method=args.method):
-            print(json.dumps(line))
+            _emit(line)
         return 0
     if args.config is not None:
-        print(json.dumps(run_config(args.config, quick=args.quick,
-                                    method=args.method)))
+        _emit(run_config(args.config, quick=args.quick, method=args.method))
         return 0
-    print(json.dumps(run_headline(quick=args.quick, method=args.method)))
+    _emit(run_headline(quick=args.quick, method=args.method))
     return 0
 
 
