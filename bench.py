@@ -212,9 +212,13 @@ def bench_convergence(num_particles, num_beams, gm, method="lut_pallas",
     per_trial = []
     for trial in range(trials):
         row, col = free[rng.integers(len(free))]
+        # truth pose at the CELL CENTER: corner coords (col*res + origin)
+        # sit exactly on a resolution multiple, where f32 world->grid
+        # truncation can land in the occupied neighbor cell and corrupt
+        # the synthesized truth scan to ~0 m (knife-edge rule, CLAUDE.md)
         pose = np.array(
-            [col * gm.resolution + float(gm.origin_x),
-             row * gm.resolution + float(gm.origin_y),
+            [(col + 0.5) * gm.resolution + float(gm.origin_x),
+             (row + 0.5) * gm.resolution + float(gm.origin_y),
              rng.uniform(-np.pi, np.pi)],
             np.float32,
         )
@@ -518,13 +522,16 @@ def run_headline(quick=False, method="lut_pallas"):
     )
 
 
-def _child_args(args, method, cpu=False):
+def _child_args(args, method, cpu=False, cpu_note=None):
     argv = [sys.executable, os.path.abspath(__file__), "--no-watchdog",
             "--method", method]
     if args.quick:
         argv.append("--quick")
-    if cpu:
+    if cpu or getattr(args, "cpu", False):
         argv.append("--cpu")
+        note = cpu_note or getattr(args, "cpu_note", None)
+        if note:
+            argv += ["--cpu-note", note]
     if getattr(args, "converge", False):
         argv.append("--converge")
     if getattr(args, "live", False):
@@ -566,6 +573,10 @@ def _run_with_watchdog(args) -> int:
     attempts = [args.method]
     if args.method != "lut":
         attempts += [args.method, "lut"]
+    if getattr(args, "cpu", False):
+        # explicit --cpu request: skip the accelerator attempts entirely
+        # and run the (still watchdogged) CPU child with an honest label
+        attempts = []
     retried_after_timeout = False
     accelerator_dead = False
     for i, method in enumerate(attempts):
@@ -620,12 +631,26 @@ def _run_with_watchdog(args) -> int:
     # Last resort: record SOMETHING honest rather than nothing. A dead
     # accelerator tunnel at bench time would otherwise leave an empty
     # record; run the lut path on the CPU backend instead, clearly
-    # labeled as NOT the accelerator metric.
+    # labeled as NOT the accelerator metric. The label distinguishes an
+    # unreachable tunnel from accelerator children that simply failed —
+    # a code failure must not be recorded as dead hardware.
     sub = argparse.Namespace(**vars(args))
-    sub.quick = True  # the fallback is diagnostic — keep it cheap
+    if getattr(args, "cpu", False):
+        cpu_note = ("explicit --cpu run — CPU backend, "
+                    "NOT the accelerator metric")
+    else:
+        sub.quick = True  # the fallback is diagnostic — keep it cheap
+        if not accelerator_dead and not _accelerator_alive():
+            accelerator_dead = True
+        cpu_note = (
+            ("accelerator unreachable at bench time"
+             if accelerator_dead
+             else "accelerator bench children failed (tunnel alive)")
+            + " — CPU-backend fallback, NOT the accelerator metric"
+        )
     try:
         proc = subprocess.run(
-            _child_args(sub, "lut", cpu=True),
+            _child_args(sub, "lut", cpu=True, cpu_note=cpu_note),
             timeout=max(timeout, 1800.0),
             capture_output=True,
             text=True,
@@ -664,9 +689,12 @@ def main(argv=None) -> int:
     ap.add_argument("--no-watchdog", action="store_true",
                     help="run in-process (internal: watchdog child mode)")
     ap.add_argument("--cpu", action="store_true",
-                    help="force the CPU backend and label the output as a "
-                         "fallback (internal: used by the watchdog when "
-                         "the accelerator tunnel is unreachable)")
+                    help="force the CPU backend and label the output as "
+                         "NOT the accelerator metric (also used by the "
+                         "watchdog as its last-resort fallback)")
+    ap.add_argument("--cpu-note", default=None,
+                    help="provenance note attached to --cpu output "
+                         "(internal: set by the watchdog parent)")
     ap.add_argument("--converge", action="store_true",
                     help="config #4 'until convergence' semantics: 100k "
                          "uniform seed on basement_fixed, measure "
@@ -711,9 +739,8 @@ def main(argv=None) -> int:
     def _emit(res):
         if args.cpu:
             res["method"] = str(res.get("method", args.method)) + "+cpu"
-            res["note"] = (
-                "accelerator unreachable at bench time — CPU-backend "
-                "fallback, NOT the accelerator metric"
+            res["note"] = args.cpu_note or (
+                "CPU-backend run, NOT the accelerator metric"
             )
         print(json.dumps(res))
 

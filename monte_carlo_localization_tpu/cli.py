@@ -54,6 +54,10 @@ def _load_cfg(args) -> "MCLConfig":
         overrides["async_correction"] = True
     if getattr(args, "live_chunk", None) is not None:
         overrides["live_chunk"] = args.live_chunk
+        if args.live_chunk > 1 and not overrides.get("async_correction"):
+            # chunking only exists on the async dispatch path; a bare
+            # --live-chunk K unambiguously asks for it
+            overrides["async_correction"] = True
     return cfg.replace(**overrides) if overrides else cfg
 
 

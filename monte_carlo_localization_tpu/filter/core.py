@@ -360,12 +360,13 @@ class ParticleFilter:
                 self.grid_map, query = build_pallas_likelihood(
                     self.grid_map, self.beam_angles, cfg, cfg.max_particles
                 )
-            except ValueError as e:
+            except (ValueError, RuntimeError) as e:
                 if not self._auto_raycast:
                     raise
                 # auto-selected kernel on an unsupported map/beam geometry
                 # (e.g. non-injective beam->theta-bin layout, giant
-                # heterogeneous LUTs): degrade to the XLA lut path
+                # heterogeneous LUTs) or a missing native compact-LUT
+                # builder (RuntimeError): degrade to the XLA lut path
                 import warnings
 
                 warnings.warn(

@@ -39,8 +39,12 @@ def systematic_resample_indices(
     scatter j there (slot collisions between zero-count sources and the one
     covering source resolve with ``max`` — the covering source always has
     the largest j at that slot) and forward-fill with a cumulative max.
-    One scatter + one cummax, no gathers; bit-identical to the
-    searchsorted formulation (pinned by tests/test_resample.py).
+    One scatter + one cummax, no gathers. Agrees with the searchsorted
+    formulation on every tested platform (pinned by
+    tests/test_resample.py), though the two compute the boundary
+    comparison in algebraically rearranged f32 forms — a knife-edge
+    weight vector could in principle flip one slot by an ulp, and either
+    answer is a valid systematic resample.
     """
     n = log_weights.shape[0]
     m = n if num_samples is None else num_samples

@@ -72,6 +72,14 @@ class MCLNode:
             raise ValueError(
                 f"live_chunk must be >= 1, got {self.config.live_chunk}"
             )
+        if self.config.live_chunk > 1 and not self.config.async_correction:
+            # chunking only exists on the async dispatch path; accepting
+            # the combination silently would leave every tick paying the
+            # full blocking dispatch the user asked to amortize
+            raise ValueError(
+                "live_chunk > 1 requires async_correction=True "
+                f"(got live_chunk={self.config.live_chunk})"
+            )
         self.map = grid_map
         self.log = log
         self.filter = ParticleFilter(grid_map, self.config)
@@ -270,25 +278,29 @@ class MCLNode:
             self.state, pose_dev = self.filter.step(
                 self.state, action, self.downsampled_ranges
             )
-            # carry this CORRECTION's quality scalar with its pose: it is
-            # ready when the pose is, so the auto-reinit monitor never
-            # blocks on the still-running newer dispatches (reading
-            # self.state.log_quality at harvest time would). COPY it out
-            # of the state pytree: the step donates its input state
-            # (donate_argnums), so the NEXT dispatch invalidates every
-            # buffer of this state — a harvest after that would read a
-            # deleted array.
-            q_dev = self._detached_quality()
-            try:
-                # start the device->host copy NOW so the round-trip
-                # latency of consecutive readbacks overlaps instead of
-                # serializing at harvest time
-                pose_dev.copy_to_host_async()
-            except AttributeError:
-                pass
-            self._inflight_q.append((pose_dev, q_dev, t_mono, 1))
+            self._enqueue_dispatch(pose_dev, t_mono, 1)
 
         return self._harvest_inflight(now)
+
+    def _enqueue_dispatch(self, pose_dev, t_mono: float, count: int) -> None:
+        """Queue one just-dispatched correction (or K-chunk) for harvest.
+
+        Carries the dispatch's quality scalar with its pose(s): it is
+        ready when the pose is, so the auto-reinit monitor never blocks
+        on still-running newer dispatches (reading
+        ``self.state.log_quality`` at harvest time would). The quality is
+        COPIED out of the state pytree — the step donates its input state
+        (donate_argnums), so the NEXT dispatch invalidates every buffer
+        of this state and a harvest after that would read a deleted
+        array. The device->host pose copy starts NOW so the round-trip
+        latency of consecutive readbacks overlaps instead of serializing
+        at harvest time."""
+        q_dev = self._detached_quality()
+        try:
+            pose_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._inflight_q.append((pose_dev, q_dev, t_mono, count))
 
     def _update_async_chunked(self, action, now: float) -> np.ndarray | None:
         """Micro-chunked pipelined corrections (``live_chunk`` = K > 1).
@@ -329,13 +341,7 @@ class MCLNode:
             self.state, poses_dev = self.filter.step_many(
                 self.state, actions, scans
             )
-            # copied out of the donated state pytree — see _update_async
-            q_dev = self._detached_quality()
-            try:
-                poses_dev.copy_to_host_async()
-            except AttributeError:
-                pass
-            self._inflight_q.append((poses_dev, q_dev, t_mono, K))
+            self._enqueue_dispatch(poses_dev, t_mono, K)
         return self._harvest_inflight(now)
 
     def _detached_quality(self):

@@ -71,3 +71,43 @@ def test_explicit_kernel_raises_on_bad_geometry(box_map):
     bad_beams = np.array([0.0, 0.0, 0.1, 0.2], np.float32)
     with pytest.raises(ValueError):
         pf.set_beam_angles(bad_beams)
+
+
+def test_auto_kernel_falls_back_on_runtime_error(box_map, make_scan,
+                                                 monkeypatch):
+    """A RuntimeError from the kernel builder (e.g. the giant-map compact
+    u16 LUT path without the native g++ builder, grid_map.py:246) must
+    degrade an AUTO-selected kernel to 'lut' exactly like a geometry
+    ValueError — not crash the constructor."""
+    import monte_carlo_localization_tpu.filter.core as core
+
+    def boom(*a, **k):
+        raise RuntimeError("compact u16 range LUT needs the native builder")
+
+    monkeypatch.setattr(core, "build_pallas_likelihood", boom)
+    pf = ParticleFilter(box_map, MCLConfig(max_particles=64, angle_step=1))
+    pf.config = pf.config.replace(raycast_method="lut_pallas")
+    assert pf._auto_raycast
+    beams = np.array([0.0, 0.1, 0.2, 0.3], np.float32)
+    with pytest.warns(UserWarning, match="falling back to 'lut'"):
+        pf.set_beam_angles(beams)
+    assert pf.config.raycast_method == "lut"
+    pose = np.array([2.3, 2.7, 0.4], np.float32)
+    scan = make_scan(box_map, pose, beams)
+    state = pf.init_pose(pose, seed=0)
+    state, est = pf.step(state, np.zeros(3, np.float32), scan)
+    assert np.isfinite(np.asarray(est)).all()
+
+
+def test_explicit_kernel_reraises_runtime_error(box_map, monkeypatch):
+    import monte_carlo_localization_tpu.filter.core as core
+
+    def boom(*a, **k):
+        raise RuntimeError("native builder unavailable")
+
+    monkeypatch.setattr(core, "build_pallas_likelihood", boom)
+    pf = ParticleFilter(
+        box_map, MCLConfig(max_particles=64, raycast_method="lut_pallas")
+    )
+    with pytest.raises(RuntimeError):
+        pf.set_beam_angles(np.array([0.0, 0.1, 0.2, 0.3], np.float32))

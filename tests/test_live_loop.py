@@ -278,3 +278,16 @@ def test_async_reinit_flushes_inflight(clutter_map, beams60, make_scan):
     # correction's cloud is still near the seed, far from the old belief
     assert np.linalg.norm(p[:2] - new_pose[:2]) < 1.5
     assert np.linalg.norm(p[:2] - true_pose[:2]) > 2.0
+
+
+def test_live_chunk_requires_async(clutter_map):
+    """live_chunk > 1 without async_correction must fail loudly at node
+    construction — chunking only exists on the async dispatch path, and
+    accepting the combination silently would leave every tick paying the
+    full blocking dispatch the user asked to amortize."""
+    with pytest.raises(ValueError, match="async_correction"):
+        MCLNode(
+            clutter_map,
+            MCLConfig(max_particles=64, raycast_method="lut",
+                      lut_theta_bins=360, live_chunk=4),
+        )
