@@ -11,11 +11,19 @@ particles uniformly over free space, and runs fused MCL corrections until
 the cloud converges on the true pose.
 """
 
+import os
 import sys
 from pathlib import Path
 
 import numpy as np
 
+if os.environ.get("JAX_PLATFORM_NAME") == "cpu":
+    # make the documented CPU prefix binding: merely changing the default
+    # backend still initializes every plugin, and an unreachable
+    # accelerator plugin hangs the process during discovery
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 REPO = Path(__file__).resolve().parents[1]
