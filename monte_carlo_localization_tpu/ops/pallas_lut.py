@@ -485,9 +485,12 @@ def build_lut_query_fn(
     masks_const = masks_np
     obs_layout_flat = obs_layout.reshape(-1)
 
-    # global member index of each particle within one kernel call, before
-    # the traced member_base offset (static layout: contiguous groups)
-    member_of = np.arange(n, dtype=np.int32) // max(n // num_members, 1)
+    # particles per member (static layout: contiguous groups); the
+    # per-particle member index is computed as iota//npm INSIDE query —
+    # an np.arange constant here became a 512 KB dense-constant in the
+    # lowered module, which sent the remote TPU AOT compiler into a
+    # pathological 15-minute (or OOM-killed) compile at fleet scale
+    npm = max(n // num_members, 1)
     member_subrows = height * width * (row_stride // eps)
 
     def query(lut_flat, particles, obs_px, row_map=None, member_base=0,
@@ -501,7 +504,7 @@ def build_lut_query_fn(
                 raise ValueError(
                     "per_member_maps query needs origins=(ox (M,), oy (M,))"
                 )
-            mi = member_base + jnp.asarray(member_of)
+            mi = member_base + jnp.arange(n, dtype=jnp.int32) // npm
             if map_of is not None:
                 mi = jnp.asarray(map_of, jnp.int32)[mi]
             ox = origins[0][mi]

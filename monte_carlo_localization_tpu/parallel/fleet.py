@@ -31,6 +31,13 @@ from monte_carlo_localization_tpu.mapping.grid_map import GridMap, OCC_OCCUPIED
 from monte_carlo_localization_tpu.models.sensor import SensorModel
 
 
+# the fused kernel's scalar-prefetch arrays (y0, rem: int32 per particle)
+# live in SMEM (~1 MB): one kernel call is capped at this many particles
+# and the fleet step scans over member chunks beyond it (tests shrink it
+# to exercise the chunked path on CPU-sized fleets)
+SMEM_PARTICLE_CAP = 64_000
+
+
 def _validate_parallel_config(
     cfg: MCLConfig, who: str, allow_pallas: bool = False
 ) -> None:
@@ -325,11 +332,10 @@ class FleetFilter:
         f = self.fleet_size
         n = cfg.max_particles
         local_f = f if mesh is None else f // mesh.shape[self.fleet_axis]
-        # the kernel's scalar-prefetch arrays (y0, rem: int32 per particle)
-        # live in SMEM (1 MB): cap one kernel call at ~64k particles and
-        # loop over member chunks inside the jitted step
+        # cap one kernel call at SMEM_PARTICLE_CAP particles and scan over
+        # member chunks inside the jitted step
         mpc = local_f
-        while mpc > 1 and mpc * n > 64_000:
+        while mpc > 1 and mpc * n > SMEM_PARTICLE_CAP:
             # largest divisor of local_f with mpc*n under the SMEM budget
             for d in range(mpc - 1, 0, -1):
                 if local_f % d == 0:
@@ -372,25 +378,47 @@ class FleetFilter:
             shard0 = (
                 jax.lax.axis_index(fa) * local_f if mesh is not None else 0
             )
-            parts = []
-            for c0 in range(0, local_f, mpc):
+
+            def chunk_logw(chunk0, prop_c, obs_c):
                 kw = {}
                 if hetero:
                     kw = dict(
-                        member_base=shard0 + c0,
+                        member_base=shard0 + chunk0,
                         origins=(gmap.origin_x, gmap.origin_y),
                         map_of=map_of,
                     )
-                parts.append(
-                    query(
-                        gmap.range_lut,
-                        prop[c0 : c0 + mpc].reshape(mpc * n, 3),
-                        obs_px[c0 : c0 + mpc],
-                        row_map=gmap.lut_row_map,
-                        **kw,
-                    )
+                return query(
+                    gmap.range_lut,
+                    prop_c.reshape(mpc * n, 3),
+                    obs_c,
+                    row_map=gmap.lut_row_map,
+                    **kw,
                 )
-            logw = jnp.concatenate(parts).reshape(local_f, n)
+
+            nchunks = local_f // mpc
+            if nchunks == 1:
+                logw = chunk_logw(0, prop, obs_px).reshape(local_f, n)
+            else:
+                # scan (not a Python loop) over member chunks: ONE Pallas
+                # kernel instance in the compiled module with a TRACED
+                # member_base — an unrolled loop bakes a distinct
+                # member_base constant into each chunk's kernel, and the
+                # 4x-duplicated Mosaic programs OOM-killed the remote
+                # compile helper at fleet scale (config #5)
+                def body(_, xs):
+                    ci, p_c, o_c = xs
+                    return None, chunk_logw(ci * mpc, p_c, o_c)
+
+                _, lws = jax.lax.scan(
+                    body,
+                    None,
+                    (
+                        jnp.arange(nchunks, dtype=jnp.int32),
+                        prop.reshape(nchunks, mpc, n, 3),
+                        obs_px.reshape(nchunks, mpc, -1),
+                    ),
+                )
+                logw = lws.reshape(local_f, n)
             logw = logw - jax.lax.stop_gradient(
                 jnp.max(logw, axis=1, keepdims=True)
             )

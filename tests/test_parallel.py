@@ -458,6 +458,53 @@ class TestFleetPallas:
             err = np.linalg.norm(est[i, :2] - poses_true[i, :2])
             assert err < 0.25, (i, err, est[i], poses_true[i])
 
+    def test_fleet_pallas_chunked_scan_matches_unchunked(
+        self, beams60, make_scan, monkeypatch
+    ):
+        """Beyond the SMEM particle cap the fleet step lax.scans over
+        member chunks (one kernel instance, traced member_base). Shrinking
+        the cap must leave the step's numbers unchanged — each hetero
+        member still reads ITS map's LUT block and origin through the
+        traced chunk offset."""
+        from monte_carlo_localization_tpu.mapping import (
+            box_world,
+            random_obstacle_world,
+        )
+        import monte_carlo_localization_tpu.parallel.fleet as fleet_mod
+
+        m0 = random_obstacle_world(height=96, width=96, num_obstacles=8,
+                                   seed=14)
+        m1 = box_world(height=96, width=96, origin=(-3.0, -2.0, 0.0))
+        bm = stack_maps([m0, m1])
+        asg = np.array([0, 1, 0, 1], np.int32)
+        p0 = np.array([2.4, 2.4, 0.5], np.float32)
+        p1 = np.array([-0.9, 0.1, 0.1], np.float32)
+        poses0 = np.stack([p0, p1, p0, p1])
+        scans = np.stack([
+            make_scan(m0, p0, beams60), make_scan(m1, p1, beams60),
+            make_scan(m0, p0, beams60), make_scan(m1, p1, beams60),
+        ])
+        cfg = MCLConfig(max_particles=128, raycast_method="lut_pallas")
+        actions = np.zeros((4, 3), np.float32)
+
+        def run(cap):
+            monkeypatch.setattr(fleet_mod, "SMEM_PARTICLE_CAP", cap)
+            ff = FleetFilter(bm, fleet_size=4, config=cfg,
+                             beam_angles=beams60, map_assignment=asg)
+            state = ff.init_pose(poses0, seed=2)
+            for _ in range(3):
+                state, poses = ff.step(state, actions, scans)
+            return ff, np.asarray(poses), np.asarray(state.log_weights)
+
+        ff_whole, poses_w, logw_w = run(4 * 128)
+        assert ff_whole._members_per_call == 4
+        ff_chunk, poses_c, logw_c = run(2 * 128)
+        assert ff_chunk._members_per_call == 2
+        np.testing.assert_allclose(poses_c, poses_w, atol=1e-5)
+        np.testing.assert_allclose(logw_c, logw_w, atol=1e-4)
+        err = np.linalg.norm(poses_c[:, :2] - poses0[:, :2], axis=1)
+        assert err.max() < 0.25, err
+
     def test_fleet_pallas_matches_lut_fleet(self, clutter_map, beams60,
                                             make_scan):
         """Pose estimates from the Pallas fleet track the XLA lut fleet."""
