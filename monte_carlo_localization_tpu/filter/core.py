@@ -212,9 +212,18 @@ def build_pallas_likelihood(
     num_maps = (
         grid_map.occupancy.shape[0] if grid_map.occupancy.ndim == 3 else 1
     )
-    dense_bytes = (
-        num_maps * grid_map.height * grid_map.width * stride * dtype.itemsize
-    )
+    if num_maps > 1 and grid_map.member_dims is not None:
+        # tight per-member blocks: memory is the sum of TRUE map areas,
+        # not M x padded common shape (with_member_luts)
+        dims = np.asarray(grid_map.member_dims, np.int64)
+        dense_bytes = int(
+            (dims[:, 0] * dims[:, 1]).sum() * stride * dtype.itemsize
+        )
+    else:
+        dense_bytes = (
+            num_maps * grid_map.height * grid_map.width
+            * stride * dtype.itemsize
+        )
     max_dense = int(os.environ.get("MCL_LUT_DENSE_MAX", 2 << 30))
     if dense_bytes > max_dense:
         if num_maps > 1:
@@ -228,34 +237,22 @@ def build_pallas_likelihood(
         # row-compacted LUT: device builder for u8 maps, native host
         # builder for u16 (long-range) maps
         grid_map = grid_map.with_compact_range_lut(t, stride)
+    elif num_maps == 1:
+        grid_map = grid_map.with_range_lut(t, row_stride=stride)
     else:
-        # multi-map fleets build on the HOST (native C++, disk-cached):
-        # the on-device builder would compile a fresh giant sweep program
-        # for the padded common shape — minutes per cold compile and
-        # enough memory to OOM a remote compile service
-        if num_maps == 1:
-            grid_map = grid_map.with_range_lut(t, row_stride=stride)
-        else:
-            try:
-                grid_map = grid_map.with_range_lut(
-                    t, row_stride=stride, backend="native"
-                )
-            except Exception:  # no g++: fall back to the default chain
-                grid_map = grid_map.with_range_lut(t, row_stride=stride)
-    if num_maps > 1:
+        # multi-map fleets build TIGHT per-member LUT blocks on the HOST
+        # (native C++ when available, disk-cached): the on-device builder
+        # would compile a fresh giant sweep program per map shape —
+        # minutes per cold compile and enough memory to OOM a remote
+        # compile service — and padding every block to the common shape
+        # multiplies HBM + AOT-compile memory by the shape spread
         from monte_carlo_localization_tpu.ops.pallas_lut import (
             entries_per_subrow,
         )
 
-        total_subrows = (
-            num_maps * grid_map.height * grid_map.width
-            * (stride // entries_per_subrow(dtype.itemsize))
+        grid_map = grid_map.with_member_luts(
+            t, stride, entries_per_subrow(dtype.itemsize)
         )
-        if total_subrows > 2**31 - 1:
-            raise ValueError(
-                "lut_pallas heterogeneous fleet: concatenated LUT subrow "
-                f"index ({total_subrows}) overflows int32"
-            )
     query, _ = build_lut_query_fn(
         grid_map.lut_theta_bins,
         beams_np,

@@ -78,6 +78,17 @@ class GridMap:
     # The Pallas query kernel pads rows (with angle wraparound content) so
     # its aligned window DMAs never cross a row (see with_padded_lut).
     lut_row_stride: int = field(default=0, metadata=dict(static=True))
+    # Batched (fleet) maps only — tight per-member LUT layout:
+    # member_dims (M, 2) int32 holds each member map's TRUE (height,
+    # width) before stack_maps padded the grids to the common shape, and
+    # lut_member_base (M,) int32 holds each member's LUT block start in
+    # 512 B subrow units (see with_member_luts). A padded-to-common-shape
+    # hetero LUT wastes memory quadratically in the shape spread (a 4-map
+    # icra-class set pads 0.8 GiB of real LUT to 1.9 GiB, which OOM-kills
+    # the remote TPU compile helper); the tight layout stores each map at
+    # its own area.
+    member_dims: jnp.ndarray | None = None
+    lut_member_base: jnp.ndarray | None = None
 
     def with_range_lut(
         self,
@@ -184,6 +195,85 @@ class GridMap:
             lut_row_map=None,  # dense LUT: drop any stale compact map
             lut_theta_bins=t,
             lut_row_stride=stride if stride != t else 0,
+        )
+
+    def with_member_luts(
+        self,
+        t_bins: int,
+        row_stride: int,
+        subrow_entries: int,
+        backend: str = "auto",
+        use_cache: bool = True,
+    ) -> "GridMap":
+        """Batched maps: attach TIGHT per-member range LUTs.
+
+        Each member's LUT is built on its true (pre-padding) grid —
+        ``member_dims`` from :func:`~..parallel.fleet.stack_maps`; falls
+        back to the padded common shape when absent — and the blocks are
+        concatenated into one flat buffer. ``lut_member_base`` records
+        each block's start in ``subrow_entries``-entry (512 B) subrow
+        units, which is what the Pallas query kernel addresses DMAs in.
+        Memory is the sum of true map areas instead of
+        M x max(H) x max(W).
+        """
+        import dataclasses
+
+        from monte_carlo_localization_tpu.mapping.range_lut import (
+            build_range_lut,
+            cached_range_lut,
+        )
+
+        occupied = np.asarray(self.occupied)
+        if occupied.ndim != 3:
+            raise ValueError("with_member_luts needs a batched (M,H,W) map")
+        if row_stride < t_bins or row_stride % subrow_entries != 0:
+            raise ValueError(
+                f"row_stride {row_stride} must be >= t_bins {t_bins} and a "
+                f"multiple of subrow_entries {subrow_entries}"
+            )
+        if (
+            self.range_lut is not None
+            and self.lut_member_base is not None
+            and self.lut_theta_bins == t_bins
+            and (self.lut_row_stride or t_bins) == row_stride
+        ):
+            return self
+        m = occupied.shape[0]
+        if self.member_dims is not None:
+            dims = np.asarray(self.member_dims, np.int64)
+        else:
+            dims = np.tile(
+                np.asarray(occupied.shape[1:], np.int64), (m, 1)
+            )
+        build = cached_range_lut if use_cache else build_range_lut
+        spe = row_stride // subrow_entries  # subrows per LUT row (cell)
+        blocks: list[np.ndarray] = []
+        bases = np.zeros((m,), np.int64)
+        at = 0
+        for i in range(m):
+            h, w = int(dims[i, 0]), int(dims[i, 1])
+            bases[i] = at
+            blocks.append(
+                np.ascontiguousarray(
+                    build(
+                        occupied[i, :h, :w], t_bins, self.max_range_px,
+                        backend=backend, row_stride=row_stride,
+                    )
+                ).reshape(-1)
+            )
+            at += h * w * spe
+        if at > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"tight fleet LUT subrow index ({at}) overflows int32 — "
+                "fewer/smaller maps or raycast_method='lut'"
+            )
+        return dataclasses.replace(
+            self,
+            range_lut=jnp.asarray(np.concatenate(blocks)),
+            lut_row_map=None,
+            lut_theta_bins=t_bins,
+            lut_row_stride=row_stride if row_stride != t_bins else 0,
+            lut_member_base=jnp.asarray(bases, jnp.int32),
         )
 
     def with_compact_range_lut(

@@ -494,11 +494,17 @@ def build_lut_query_fn(
     member_subrows = height * width * (row_stride // eps)
 
     def query(lut_flat, particles, obs_px, row_map=None, member_base=0,
-              origins=None, map_of=None):
+              origins=None, map_of=None, dims=None, lut_bases=None):
         """``map_of`` (optional, per_member_maps): (F_total,) int32 member
         -> LUT-block/origin index, letting many members SHARE one map's
         LUT block (e.g. 64 cars over 4 circuits stores 4 LUTs, not 64).
-        Default: identity (one block per member)."""
+        Default: identity (one block per member).
+
+        ``dims`` (M, 2) int32 true per-map (height, width) and
+        ``lut_bases`` (M,) int32 per-map LUT block starts in subrow units
+        (GridMap.member_dims / lut_member_base) select the TIGHT
+        concatenated layout; without them members are assumed padded to
+        the static common shape at ``member_subrows`` apart."""
         if per_member_maps:
             if origins is None:
                 raise ValueError(
@@ -509,12 +515,18 @@ def build_lut_query_fn(
                 mi = jnp.asarray(map_of, jnp.int32)[mi]
             ox = origins[0][mi]
             oy = origins[1][mi]
+            if dims is not None:
+                d = jnp.asarray(dims, jnp.int32)
+                h_m, w_m = d[mi, 0], d[mi, 1]
+            else:
+                h_m, w_m = height, width
         else:
             ox, oy = origin_x, origin_y
+            h_m, w_m = height, width
         gx = ((particles[:, 0] - ox) / resolution).astype(jnp.int32)
         gy = ((particles[:, 1] - oy) / resolution).astype(jnp.int32)
-        oob = (gx < 0) | (gx >= width) | (gy < 0) | (gy >= height)
-        cell = jnp.clip(gy, 0, height - 1) * width + jnp.clip(gx, 0, width - 1)
+        oob = (gx < 0) | (gx >= w_m) | (gy < 0) | (gy >= h_m)
+        cell = jnp.clip(gy, 0, h_m - 1) * w_m + jnp.clip(gx, 0, w_m - 1)
         if row_map is not None:  # compacted LUT: cell -> LUT row indirection
             if per_member_maps:
                 raise ValueError(
@@ -531,7 +543,11 @@ def build_lut_query_fn(
         # flat byte offset cell*stride (int32 overflow at ~0.7M cells)
         y0 = cell * (row_stride // eps) + b0 // eps
         if per_member_maps:  # offset into this particle's map's LUT block
-            y0 = y0 + mi * member_subrows
+            y0 = y0 + (
+                jnp.asarray(lut_bases, jnp.int32)[mi]
+                if lut_bases is not None
+                else mi * member_subrows
+            )
         y0 = jnp.where(oob, 0, y0)
 
         # observed px spread to the rotated-window lane layout (tiny gather)

@@ -133,6 +133,12 @@ def stack_maps(maps: Sequence[GridMap]) -> GridMap:
         max_range_px=mrp,
         max_range_meters=maps[0].max_range_meters,
         name="fleet:" + ",".join(m.name for m in maps),
+        # true pre-padding shapes, so the Pallas path can build TIGHT
+        # per-member LUT blocks (GridMap.with_member_luts) instead of
+        # padding every member's LUT to the common max shape
+        member_dims=jnp.asarray(
+            [[m.height, m.width] for m in maps], jnp.int32
+        ),
     )
 
 
@@ -386,6 +392,9 @@ class FleetFilter:
                         member_base=shard0 + chunk0,
                         origins=(gmap.origin_x, gmap.origin_y),
                         map_of=map_of,
+                        # tight per-member LUT layout (None -> padded)
+                        dims=gmap.member_dims,
+                        lut_bases=gmap.lut_member_base,
                     )
                 return query(
                     gmap.range_lut,

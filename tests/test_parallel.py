@@ -505,6 +505,72 @@ class TestFleetPallas:
         err = np.linalg.norm(poses_c[:, :2] - poses0[:, :2], axis=1)
         assert err.max() < 0.25, err
 
+    def test_fleet_pallas_tight_mixed_shape_luts(self, beams60, make_scan):
+        """Mixed-shape hetero fleet: LUT blocks are TIGHT (each map at its
+        true area, not padded to the common max shape) and every member
+        still localizes on its own map. Padded-to-common hetero LUTs blew
+        up to 1.9 GiB on an icra-class 4-map set and OOM-killed the remote
+        TPU AOT compile helper; the tight layout is the fix."""
+        from monte_carlo_localization_tpu.mapping import (
+            box_world,
+            random_obstacle_world,
+        )
+
+        m0 = random_obstacle_world(height=96, width=96, num_obstacles=8,
+                                   seed=14)
+        m1 = box_world(height=48, width=72, origin=(-1.5, -1.0, 0.0))
+        bm = stack_maps([m0, m1])
+        assert bm.member_dims is not None
+        np.testing.assert_array_equal(
+            np.asarray(bm.member_dims), [[96, 96], [48, 72]]
+        )
+        ff = FleetFilter(
+            bm, fleet_size=2,
+            config=MCLConfig(max_particles=128,
+                             raycast_method="lut_pallas"),
+            beam_angles=beams60,
+        )
+        stride = ff.map.lut_row_stride or ff.map.lut_theta_bins
+        lut_entries = int(np.prod(np.asarray(ff.map.range_lut).shape))
+        assert lut_entries == (96 * 96 + 48 * 72) * stride  # tight, not
+        # 2 * 96 * 96 * stride (padded common shape)
+        itemsize = np.asarray(ff.map.range_lut).dtype.itemsize
+        eps = 512 // itemsize  # LUT entries per 512 B subrow
+        np.testing.assert_array_equal(
+            np.asarray(ff.map.lut_member_base),
+            [0, 96 * 96 * (stride // eps)],
+        )
+        p0 = np.array([2.4, 2.4, 0.5], np.float32)
+        p1 = np.array([0.3, 0.4, 0.1], np.float32)
+        scans = np.stack([make_scan(m0, p0, beams60),
+                          make_scan(m1, p1, beams60)])
+        state = ff.init_pose(np.stack([p0, p1]), seed=2)
+        for _ in range(4):
+            state, poses = ff.step(state, np.zeros((2, 3)), scans)
+        poses = np.asarray(poses)
+        assert np.linalg.norm(poses[0, :2] - p0[:2]) < 0.25
+        assert np.linalg.norm(poses[1, :2] - p1[:2]) < 0.25
+        # a particle beyond the SMALL map's true extent (but inside the
+        # padded common shape) must be out of bounds for member 1
+        from monte_carlo_localization_tpu.filter.core import (
+            build_pallas_likelihood,
+        )
+
+        gmap, query = build_pallas_likelihood(
+            bm, np.asarray(beams60), ff.config, 2 * 128, num_members=2
+        )
+        parts = np.tile(np.array([2.9, 2.9, 0.0], np.float32), (256, 1))
+        obs = np.full((2, len(beams60)), 10.0, np.float32)
+        logw = np.asarray(query(
+            gmap.range_lut, jnp.asarray(parts), jnp.asarray(obs),
+            member_base=0, origins=(gmap.origin_x, gmap.origin_y),
+            dims=gmap.member_dims, lut_bases=gmap.lut_member_base,
+        ))
+        # (2.9, 2.9) is inside m0 (0..4.8 m) but past m1's 72*0.05=3.6 m
+        # width from origin -1.5 -> grid x = 88 >= 72: OOB sentinel
+        assert np.all(logw[:128] > -1e4)
+        assert np.all(logw[128:] == -1e4)
+
     def test_fleet_pallas_matches_lut_fleet(self, clutter_map, beams60,
                                             make_scan):
         """Pose estimates from the Pallas fleet track the XLA lut fleet."""
