@@ -5,7 +5,9 @@ from monte_carlo_localization_tpu.ops.raycast import (
 )
 from monte_carlo_localization_tpu.ops.resample import (
     multinomial_resample_indices,
+    resample_rows,
     systematic_resample_indices,
+    systematic_resample_rows,
 )
 
 __all__ = [
@@ -13,5 +15,7 @@ __all__ = [
     "cast_rays_dda",
     "cast_rays_sphere",
     "multinomial_resample_indices",
+    "resample_rows",
     "systematic_resample_indices",
+    "systematic_resample_rows",
 ]

@@ -188,6 +188,7 @@ def build_lut_query_fn(
     lut_dtype: np.dtype = np.uint8,
     per_member_maps: bool = False,
     dedup_slots: int = 0,
+    compact_beams: bool | None = None,
 ):
     """Returns (query, info): query(lut_flat, particles, obs_px) -> (N,)
     log weights.
@@ -275,6 +276,36 @@ def build_lut_query_fn(
         masks_np[q // LANE, q % LANE] = 1.0
         obs_layout[q] = j
 
+    # Compact-beam path (r <= 128): the beam model's transcendentals (exp,
+    # erf, log) are the kernel's single largest VPU cost, and evaluating
+    # them over the whole (s_sub, 128) window wastes s_sub*128/r lanes —
+    # 34x at the reference's 60-beam scans (ablating just the two erf
+    # calls saves 25% of the kernel at 100k particles). Since the rotated
+    # lane layout q = k*j + e_j is STATIC, a one-hot selection matmul on
+    # the MXU compacts each block's windows to ONE (block, 128) tile
+    # first: d[:, j] = sum_s W[:, s, :] @ sel[s, :, j]. The selection is
+    # exact (one f32 product per output lane), so this changes only the
+    # beams-sum order, not any per-beam value. Disabled alongside the
+    # opt-in dedup variant, whose fallback cond shares the standard call.
+    # ``compact_beams=None`` auto-selects; False pins the full-window
+    # reduce (bit-comparable to the dedup kernel).
+    if compact_beams is None:
+        compact_beams = r <= LANE and int(dedup_slots) <= 0
+    elif compact_beams:
+        if r > LANE:
+            raise ValueError(
+                f"compact_beams needs r <= {LANE} (got {r})"
+            )
+        if int(dedup_slots) > 0:
+            raise ValueError("compact_beams cannot combine with dedup_slots")
+    if compact_beams:
+        sel_np = np.zeros((s_sub, LANE, LANE), np.float32)
+        masks_c_np = np.zeros((1, LANE), np.float32)
+        for j in range(r):
+            q = k * j + int(e[j])
+            sel_np[q // LANE, q % LANE, j] = 1.0
+            masks_c_np[0, j] = 1.0
+
     m = float(max_range_px)
     gauss_coef = z_hit / (sigma_hit * math.sqrt(2.0 * math.pi))
     inv2s2 = 1.0 / (2.0 * sigma_hit * sigma_hit)
@@ -291,12 +322,10 @@ def build_lut_query_fn(
         xb = pltpu.roll(x1, -(a + 1), 0)
         return jnp.where(carry, xb, xa)
 
-    def block_logp(rows, obs_row, masks_ref):
-        """Analytic beam model over one block's rotated windows: rows is a
-        list of ``block`` (s_sub, LANE) f32 windows."""
-        d = jnp.minimum(jnp.stack(rows), m)  # (block, s_sub, LANE)
-
-        obs = obs_row[None]  # (1, s_sub, LANE) broadcast over block
+    def beam_model(d, obs, mask):
+        """Analytic beam model, elementwise over any broadcastable
+        (expected d, observed obs, validity mask) layout."""
+        d = jnp.minimum(d, m)
         z = obs - d
         p = gauss_coef * jnp.exp(-(z * z) * inv2s2)
         p = p + jnp.where(
@@ -311,10 +340,42 @@ def build_lut_query_fn(
             + z_max
             + z_rand
         )
-        return (jnp.log(jnp.maximum(p, 1e-35)) - jnp.log(norm)) * masks_ref[None]
+        return (jnp.log(jnp.maximum(p, 1e-35)) - jnp.log(norm)) * mask
 
-    def kernel(y0_ref, rem_ref, obs_ref, masks_ref, lut_ref, out_ref,
-               scratch, sems):
+    def block_logp(rows, obs_row, masks_ref):
+        """Beam model over one block's rotated windows: rows is a list of
+        ``block`` (s_sub, LANE) f32 windows."""
+        return beam_model(jnp.stack(rows), obs_row[None], masks_ref[None])
+
+    # one-hot selection is exact with a single bf16 MXU pass for u8 LUT
+    # values (integers <= 254 are exact bf16); u16 values need the
+    # multi-pass f32 decomposition
+    sel_precision = (
+        jax.lax.Precision.HIGHEST if itemsize == 2 else
+        jax.lax.Precision.DEFAULT
+    )
+
+    def block_logp_compact(rows, sel_ref, obs_row, masks_ref):
+        """Compact the block's beams to ONE (block, 128) tile via the
+        static one-hot selection matmul, then run the beam model on r
+        lanes instead of s_sub*128."""
+        w = jnp.stack(rows)  # (block, s_sub, LANE)
+        acc = jnp.zeros((w.shape[0], LANE), jnp.float32)
+        for s in range(s_sub):
+            acc = acc + jax.lax.dot_general(
+                w[:, s, :],
+                sel_ref[s],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=sel_precision,
+            )
+        return beam_model(acc, obs_row, masks_ref)
+
+    def kernel(y0_ref, rem_ref, obs_ref, masks_ref, *rest):
+        if compact_beams:
+            sel_ref, lut_ref, out_ref, scratch, sems = rest
+        else:
+            lut_ref, out_ref, scratch, sems = rest
         i = pl.program_id(0)
         nblocks = pl.num_programs(0)
         slot = jax.lax.rem(i, 2)
@@ -354,7 +415,12 @@ def build_lut_query_fn(
             # Mosaic has no u8/u16->f32 cast; widen through int32
             win = win.astype(jnp.int32).astype(jnp.float32)
             rows.append(rotate_flat(win, rem_ref[i * block + s]))
-        logp = block_logp(rows, obs_ref[0], masks_ref)
+        if compact_beams:
+            logp = block_logp_compact(
+                rows, sel_ref, obs_ref[0], masks_ref[:]
+            )
+        else:
+            logp = block_logp(rows, obs_ref[0], masks_ref)
         for s in range(block):
             out_ref[s, 0] = inv_squash * jnp.sum(logp[s])
 
@@ -413,10 +479,25 @@ def build_lut_query_fn(
         for s in range(block):
             out_ref[s, 0] = inv_squash * jnp.sum(logp[s])
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # y0 (N,), rem (N,)
-        grid=(n // block,),
-        in_specs=[
+    if compact_beams:
+        in_specs = [
+            pl.BlockSpec(
+                (1, 1, LANE),
+                lambda i, *_: (i // blocks_per_member, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (s_sub, LANE, LANE),
+                lambda i, *_: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+    else:
+        in_specs = [
             pl.BlockSpec(
                 (1, s_sub, LANE),
                 lambda i, *_: (i // blocks_per_member, 0, 0),
@@ -426,7 +507,11 @@ def build_lut_query_fn(
                 (s_sub, LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # y0 (N,), rem (N,)
+        grid=(n // block,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (block, 1), lambda i, *_: (i, 0), memory_space=pltpu.SMEM
         ),
@@ -550,8 +635,27 @@ def build_lut_query_fn(
             )
         y0 = jnp.where(oob, 0, y0)
 
-        # observed px spread to the rotated-window lane layout (tiny gather)
         obs_clip = jnp.minimum(obs_px, m)
+        lut3 = lut_flat.reshape(-1, sub_lanes, LANE)
+
+        if compact_beams:
+            # beams sit on the first r lanes of one compact 128-lane tile;
+            # pad the tail with m (masked out in the kernel anyway)
+            obs2 = obs_clip.reshape(-1, r)
+            if r < LANE:
+                obs2 = jnp.concatenate(
+                    [obs2,
+                     jnp.full((obs2.shape[0], LANE - r), m, jnp.float32)],
+                    axis=1,
+                )
+            obs_lanes = obs2.reshape(-1, 1, LANE)
+            logw = call(
+                y0, rem, obs_lanes, jnp.asarray(masks_c_np),
+                jnp.asarray(sel_np), lut3,
+            )[:, 0]
+            return jnp.where(oob, -1e4, logw)
+
+        # observed px spread to the rotated-window lane layout (tiny gather)
         if num_members > 1:
             obs_lanes = obs_clip[:, jnp.asarray(obs_layout_flat)].reshape(
                 num_members, s_sub, LANE
@@ -562,7 +666,6 @@ def build_lut_query_fn(
                 jnp.asarray(obs_layout_flat)
             ].reshape(1, s_sub, LANE)
 
-        lut3 = lut_flat.reshape(-1, sub_lanes, LANE)
         masks_dev = jnp.asarray(masks_const)
         if call_dedup is None:
             logw = call(y0, rem, obs_lanes, masks_dev, lut3)[:, 0]

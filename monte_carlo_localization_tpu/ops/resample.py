@@ -91,6 +91,66 @@ def systematic_invert_cdf_window(
     return jnp.clip(jax.lax.cummax(seeded), 0, n - 1)
 
 
+def systematic_resample_rows(
+    key: jax.Array,
+    log_weights: jnp.ndarray,
+    particles: jnp.ndarray,
+    num_samples: int | None = None,
+) -> jnp.ndarray:
+    """Systematic resampling that MATERIALIZES the proposal rows without a
+    gather.
+
+    ``particles[systematic_resample_indices(...)]`` pays an (M, D) scattered
+    gather — XLA:TPU gathers run ~1e8 elem/s, ~3.5 ms at M=100k (config #4's
+    single largest non-kernel cost). Ownership of output slots is already
+    known scatter-side (see :func:`systematic_invert_cdf_window`): source j
+    covers the contiguous slot range ``[floor(g[j-1])+1, floor(g[j])]`` with
+    ``g[j] = M*cdf[j] - u0``, so each covered source scatters its ROW into
+    its first slot (at most one writer per slot — zero-count sources are
+    dropped outright instead of max-resolved) and a "last valid wins"
+    associative scan forward-fills the remaining slots. One (M, D) scatter +
+    one log-depth elementwise scan, no gathers. Bitwise-identical to the
+    gather formulation (same g arithmetic, same ownership; pinned by
+    tests/test_resample.py).
+    """
+    n = log_weights.shape[0]
+    m = n if num_samples is None else num_samples
+    w = _normalized_weights(log_weights)
+    cdf = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, ())
+
+    g = m * cdf - u0
+    floors = jnp.floor(g).astype(jnp.int32)
+    prev = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), floors[:-1]]
+    )
+    # source j owns slots [prev[j]+1, floors[j]]; it owns at least one
+    # slot iff floors[j] > prev[j], and first slots of covered sources are
+    # strictly increasing, so each slot has at most ONE writer
+    covered = floors > prev
+    target = jnp.where(covered, prev + 1, m)  # m = out of range -> dropped
+    valid = (
+        jnp.zeros((m,), jnp.bool_).at[target].set(True, mode="drop")
+    )
+    rows = (
+        jnp.zeros((m,) + particles.shape[1:], particles.dtype)
+        .at[target]
+        .set(particles, mode="drop")
+    )
+
+    def last_valid(a, b):
+        av, ar = a
+        bv, br = b
+        keep_b = bv.reshape(bv.shape + (1,) * (br.ndim - bv.ndim))
+        return av | bv, jnp.where(keep_b, br, ar)
+
+    # slot 0 always has a writer (the first j with g[j] >= 0 exists since
+    # g[n-1] = m - u0 > m - 1 >= 0), so the fill never reads an unseeded
+    # prefix
+    _, filled = jax.lax.associative_scan(last_valid, (valid, rows))
+    return filled
+
+
 def resample_indices(
     key: jax.Array,
     log_weights: jnp.ndarray,
@@ -102,3 +162,17 @@ def resample_indices(
     if method == "multinomial":
         return multinomial_resample_indices(key, log_weights, num_samples)
     raise ValueError(f"Unknown resample method: {method!r}")
+
+
+def resample_rows(
+    key: jax.Array,
+    log_weights: jnp.ndarray,
+    particles: jnp.ndarray,
+    method: str = "systematic",
+    num_samples: int | None = None,
+) -> jnp.ndarray:
+    """Resampled proposal rows; gather-free for the systematic default."""
+    if method == "systematic":
+        return systematic_resample_rows(key, log_weights, particles, num_samples)
+    idx = resample_indices(key, log_weights, method, num_samples)
+    return particles[idx]

@@ -90,7 +90,7 @@ def _oracle_logw(
 
 def _build(beams, num_particles, *, height, width, resolution=0.05,
            origin_x=0.0, origin_y=0.0, max_range_px=120, t_bins=None,
-           block=16, dedup_slots=0):
+           block=16, dedup_slots=0, compact_beams=None):
     t = t_bins or suggest_theta_bins(beams)
     dtype = lut_dtype(max_range_px)
     stride = required_row_stride(t, beams, itemsize=dtype.itemsize)
@@ -102,7 +102,7 @@ def _build(beams, num_particles, *, height, width, resolution=0.05,
         z_hit=Z_HIT, z_short=Z_SHORT, z_max=Z_MAX, z_rand=Z_RAND,
         sigma_hit=SIGMA, inv_squash=INV_SQUASH,
         block=block, interpret=True, lut_dtype=dtype,
-        dedup_slots=dedup_slots,
+        dedup_slots=dedup_slots, compact_beams=compact_beams,
     )
     return query, info, t, stride
 
@@ -360,8 +360,12 @@ class TestDedupKernel:
     def _both(self, rng, particles, beams=BEAMS_60, height=24, width=32,
               block=16, dedup_slots=8, max_range_px=120):
         n = len(particles)
+        # the dedup kernel reduces over the full window; pin the standard
+        # reference to the same reduce order (compact_beams changes only
+        # the beams-sum order, pinned by TestKernelParity)
         q_std, _, t, stride = _build(beams, n, height=height, width=width,
-                                     block=block, max_range_px=max_range_px)
+                                     block=block, max_range_px=max_range_px,
+                                     compact_beams=False)
         q_dd, info, _, _ = _build(beams, n, height=height, width=width,
                                   block=block, dedup_slots=dedup_slots,
                                   max_range_px=max_range_px)
@@ -642,3 +646,36 @@ class TestFilterIntegration:
         pb = np.asarray(expected_pose(jnp.asarray(particles), jnp.asarray(want)))
         assert np.linalg.norm(pa[:2] - pose[:2]) < 0.25, pa
         assert np.linalg.norm(pb[:2] - pose[:2]) < 0.25, pb
+
+
+class TestCompactBeams:
+    """The compact-beam MXU selection path (r <= 128) must agree with the
+    full-window reduce to f32 round-off: identical per-beam values, only
+    the beams-sum order differs."""
+
+    def test_compact_matches_full_window(self):
+        rng = np.random.default_rng(21)
+        n = 64
+        particles = np.stack([
+            rng.uniform(0.11, 1.49, n), rng.uniform(0.11, 1.09, n),
+            rng.uniform(-np.pi, np.pi, n),
+        ], 1).astype(np.float32)
+        q_full, _, t, stride = _build(BEAMS_60, n, height=24, width=32,
+                                      compact_beams=False)
+        q_comp, _, _, _ = _build(BEAMS_60, n, height=24, width=32,
+                                 compact_beams=True)
+        lut2d = _make_lut(rng, 24 * 32, stride, t, 120)
+        obs = rng.uniform(0, 120, len(BEAMS_60)).astype(np.float32)
+        lut_flat = jnp.asarray(lut2d.reshape(-1))
+        full = np.asarray(q_full(lut_flat, jnp.asarray(particles),
+                                 jnp.asarray(obs)))
+        comp = np.asarray(q_comp(lut_flat, jnp.asarray(particles),
+                                 jnp.asarray(obs)))
+        np.testing.assert_allclose(comp, full, rtol=2e-6, atol=2e-4)
+
+    def test_compact_rejects_wide_beam_sets(self):
+        import pytest
+
+        beams = np.linspace(-2.35, 2.35, 256).astype(np.float32)
+        with pytest.raises(ValueError):
+            _build(beams, 16, height=24, width=32, compact_beams=True)

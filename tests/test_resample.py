@@ -123,3 +123,74 @@ def test_windowed_inversion_matches_oracle():
 def test_unknown_method():
     with pytest.raises(ValueError):
         resample_indices(jax.random.key(0), jnp.zeros(4), method="bogus")
+
+
+def test_systematic_rows_match_gather():
+    """The gather-free row materialization must reproduce
+    ``particles[systematic_resample_indices(...)]`` bit-for-bit: same key
+    -> same u0, same g arithmetic, same slot ownership."""
+    from monte_carlo_localization_tpu.ops.resample import (
+        systematic_resample_rows,
+    )
+
+    rng = np.random.default_rng(13)
+    for n, m in [(1, 1), (2, 2), (7, 7), (10, 25), (25, 10), (1000, 1000),
+                 (4096, 4096)]:
+        for trial in range(5):
+            logw = jnp.asarray(
+                rng.standard_normal(n).astype(np.float32)
+                * rng.uniform(0.1, 8.0)
+            )
+            particles = jnp.asarray(
+                rng.standard_normal((n, 3)).astype(np.float32)
+            )
+            key = jax.random.key(n * 31 + trial)
+            want = particles[
+                systematic_resample_indices(key, logw, num_samples=m)
+            ]
+            got = systematic_resample_rows(
+                key, logw, particles, num_samples=m
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(want), err_msg=f"n={n} m={m}"
+            )
+
+
+def test_systematic_rows_degenerate_and_vmap():
+    from monte_carlo_localization_tpu.ops.resample import (
+        systematic_resample_rows,
+    )
+
+    # single-winner cloud: every output row is the winner's
+    logw = jnp.asarray([-1e9, 0.0, -1e9, -1e9])
+    particles = jnp.arange(12, dtype=jnp.float32).reshape(4, 3)
+    rows = systematic_resample_rows(jax.random.key(3), logw, particles)
+    np.testing.assert_array_equal(
+        np.asarray(rows), np.tile(np.asarray(particles[1]), (4, 1))
+    )
+
+    # vmapped over fleet members (the fleet propose path)
+    rng = np.random.default_rng(17)
+    logw_f = jnp.asarray(rng.standard_normal((5, 64)).astype(np.float32))
+    parts_f = jnp.asarray(rng.standard_normal((5, 64, 3)).astype(np.float32))
+    keys = jax.random.split(jax.random.key(9), 5)
+    got = jax.vmap(systematic_resample_rows)(keys, logw_f, parts_f)
+    want = jnp.stack([
+        parts_f[i][systematic_resample_indices(keys[i], logw_f[i])]
+        for i in range(5)
+    ])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_resample_rows_multinomial_fallback():
+    from monte_carlo_localization_tpu.ops.resample import resample_rows
+
+    rng = np.random.default_rng(19)
+    logw = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    particles = jnp.asarray(rng.standard_normal((32, 3)).astype(np.float32))
+    key = jax.random.key(5)
+    want = particles[
+        multinomial_resample_indices(key, logw)
+    ]
+    got = resample_rows(key, logw, particles, method="multinomial")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
