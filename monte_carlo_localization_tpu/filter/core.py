@@ -207,6 +207,7 @@ def build_pallas_likelihood(
         build_lut_query_fn,
         pick_block,
         required_row_stride,
+        resolve_block_cap,
         suggest_theta_bins,
     )
 
@@ -277,7 +278,8 @@ def build_pallas_likelihood(
         sigma_hit=cfg.sigma_hit,
         inv_squash=cfg.inv_squash_factor,
         block=pick_block(
-            num_particles // num_members, cfg.pallas_block,
+            num_particles // num_members,
+            resolve_block_cap(num_particles // num_members, cfg.pallas_block),
             total_rows=num_particles,
         ),
         interpret=jax.default_backend() == "cpu",

@@ -202,6 +202,25 @@ class TestGeometryHelpers:
             pick_block(100, 80, total_rows=400)
         assert pick_block(128, 80, total_rows=512) == 64
 
+    def test_resolve_block_cap(self):
+        from monte_carlo_localization_tpu.ops.pallas_lut import (
+            pick_block,
+            resolve_block_cap,
+        )
+
+        # explicit caps pass through untouched
+        assert resolve_block_cap(4000, 80) == 80
+        assert resolve_block_cap(100_000, 24) == 24
+        # auto (0, the MCLConfig default): 80 for small filters, 160 once
+        # the per-member count reaches 32k (measured v5e crossover)
+        assert resolve_block_cap(4000, 0) == 80
+        assert resolve_block_cap(32768 - 1, 0) == 80
+        assert resolve_block_cap(32768, 0) == 160
+        assert resolve_block_cap(100_000, 0) == 160
+        # the auto caps compose with pick_block's divisor rule
+        assert pick_block(100_000, resolve_block_cap(100_000, 0)) == 160
+        assert pick_block(4000, resolve_block_cap(4000, 0)) == 80
+
     def test_window_exceeding_t_rejected(self):
         # tiny T: the beam span no longer fits a single circle row
         with pytest.raises(ValueError):
