@@ -672,7 +672,7 @@ def _run_with_watchdog(args) -> int:
     return 1
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--config", type=int, default=None, choices=sorted(CONFIGS))
@@ -703,7 +703,11 @@ def main(argv=None) -> int:
                     help="live-loop corrections/s through MCLNode's async "
                          "pipeline: plain (live_chunk=1) vs micro-chunked "
                          "(8, 32) dispatch, with measured pose staleness")
-    args = ap.parse_args(argv)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
 
     if args.all:
         rc = 0

@@ -121,11 +121,15 @@ class GridMap:
             raise ValueError(f"row_stride {stride} < t_bins {t}")
         if (
             self.range_lut is not None
+            and self.lut_member_base is None
             and self.lut_theta_bins == t
             and (self.lut_row_stride or t) == stride
         ):
             # an already-attached LUT (dense OR compact — the query paths
-            # follow lut_row_map) with matching geometry is reused as-is
+            # follow lut_row_map) with matching geometry is reused as-is.
+            # A tight per-member LUT (lut_member_base set) is NOT reusable:
+            # its flat concatenated layout only makes sense to the Pallas
+            # member-base addressing, so rebuild the stacked layout.
             return self
         h, w = self.occupancy.shape[-2:]
         if h * w * stride > np.iinfo(np.int64).max // 4:
@@ -165,6 +169,7 @@ class GridMap:
                 self,
                 range_lut=lut,
                 lut_row_map=None,  # dense LUT: drop any stale compact map
+                lut_member_base=None,  # stacked layout: drop stale tight bases
                 lut_theta_bins=t,
                 lut_row_stride=stride if stride != t else 0,
             )
@@ -193,6 +198,7 @@ class GridMap:
             self,
             range_lut=jnp.asarray(lut),
             lut_row_map=None,  # dense LUT: drop any stale compact map
+            lut_member_base=None,  # stacked layout: drop stale tight bases
             lut_theta_bins=t,
             lut_row_stride=stride if stride != t else 0,
         )

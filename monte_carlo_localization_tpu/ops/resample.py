@@ -144,9 +144,15 @@ def systematic_resample_rows(
         keep_b = bv.reshape(bv.shape + (1,) * (br.ndim - bv.ndim))
         return av | bv, jnp.where(keep_b, br, ar)
 
-    # slot 0 always has a writer (the first j with g[j] >= 0 exists since
-    # g[n-1] = m - u0 > m - 1 >= 0), so the fill never reads an unseeded
-    # prefix
+    # Seed slot 0 with its covering source j0 = #{j: g[j] < 0}, exactly as
+    # systematic_invert_cdf_window does. In exact arithmetic the scatter
+    # already wrote particles[j0] there (g[n-1] = m - u0 >= 0 guarantees a
+    # writer), but f32 cumsum round-off can leave cdf[n-1] < 1 and — for
+    # small m and u0 on the knife edge — no j with floors[j] >= 0 at all;
+    # the clip then lands on source n-1, matching the indices version.
+    j0 = jnp.clip(jnp.sum((g < 0).astype(jnp.int32)), 0, n - 1)
+    rows = rows.at[0].set(jnp.take(particles, j0, axis=0))
+    valid = valid.at[0].set(True)
     _, filled = jax.lax.associative_scan(last_valid, (valid, rows))
     return filled
 

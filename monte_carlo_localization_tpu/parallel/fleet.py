@@ -477,14 +477,16 @@ class FleetFilter:
     def init_global(self, seed: int = 0) -> FleetState:
         keys = jax.random.split(jax.random.key(seed), self.fleet_size + 1)
         n = self.config.max_particles
-        gmap = self.map
+        # Init only samples free cells — the LUT leaves are dead weight here,
+        # and the tight concatenated layout (flat range_lut + lut_member_base)
+        # has no member axis 0 for the vmap below to map over.
+        gmap = replace(
+            self.map, range_lut=None, lut_row_map=None, lut_member_base=None
+        )
         if self.map_assignment is not None:
-            # expand the M-map batch to one entry per member for the init
-            # vmap — WITHOUT the LUT leaves (gathering those would copy
-            # each shared LUT block per member)
-            lite = replace(gmap, range_lut=None, lut_row_map=None)
+            # expand the M-map batch to one entry per member for the init vmap
             asg = jnp.asarray(self.map_assignment)
-            gmap = jax.tree.map(lambda x: x[asg], lite)
+            gmap = jax.tree.map(lambda x: x[asg], gmap)
         map_axis = 0 if is_batched_map(gmap) else None
 
         def one(key, gm):

@@ -30,20 +30,9 @@ JSON_LINE = json.dumps({"metric": "m", "value": 1.0})
 
 
 def _parse_args(argv):
-    """Run bench.main's argparse only (no workload)."""
-    import argparse
-
-    ns = argparse.Namespace(
-        quick=False, config=None, all=False, method="lut_pallas",
-        timeout=1.0, no_watchdog=False, cpu=False, cpu_note=None,
-        converge=False, live=False,
-    )
-    for i, a in enumerate(argv):
-        if a == "--cpu":
-            ns.cpu = True
-        if a == "--quick":
-            ns.quick = True
-    return ns
+    """Run bench's REAL argparse (no workload) so these tests track the
+    production defaults; only the watchdog timeout is shortened."""
+    return bench.build_parser().parse_args(["--timeout", "1.0", *argv])
 
 
 def test_success_first_attempt(monkeypatch, capsys):

@@ -249,6 +249,37 @@ class TestShardedLut:
         poses = np.asarray(poses)
         assert np.linalg.norm(poses[0, :2] - p1[:2]) < 0.25
         assert np.linalg.norm(poses[1, :2] - p2[:2]) < 0.25
+        # global init on the tight-LUT hetero fleet (regression: the flat
+        # concatenated range_lut has no member axis 0 for init's vmap —
+        # the LUT leaves must be stripped before mapping)
+        gs = ff.init_global(seed=5)
+        parts = np.asarray(gs.particles)
+        assert parts.shape == (2, 256, 3)
+        # member 2's map origin is (-3, -2): its samples reach x < 0;
+        # member 1's (origin 0, 0) all stay x >= 0
+        assert parts[0, :, 0].min() >= -0.01
+        assert parts[1, :, 0].min() < 0.0
+
+    def test_member_lut_not_reused_by_with_range_lut(self):
+        """A tight per-member LUT (flat buffer + lut_member_base) must NOT
+        satisfy with_range_lut's memo check: only the Pallas member-base
+        addressing understands that layout, so the stacked layout is
+        rebuilt and the stale bases dropped (a padded LUT read through
+        tight bases would silently return the wrong map's rows)."""
+        from monte_carlo_localization_tpu.mapping import box_world
+        from monte_carlo_localization_tpu.parallel import stack_maps
+
+        bm = stack_maps([
+            box_world(height=48, width=48),
+            box_world(height=48, width=48, origin=(-1.0, -1.0, 0.0)),
+        ])
+        t = 64
+        tight = bm.with_member_luts(t, t, t)
+        assert tight.lut_member_base is not None
+        assert np.asarray(tight.range_lut).ndim == 1
+        stacked = tight.with_range_lut(t, row_stride=t)
+        assert stacked.lut_member_base is None
+        assert np.asarray(stacked.range_lut).ndim == 2  # (M, H*W*stride)
 
     def test_fleet_map_assignment_shares_lut_blocks(self, beams60, make_scan):
         """map_assignment: 6 cars over 2 stacked maps — the LUT holds 2
