@@ -198,6 +198,20 @@ def _dryrun_child() -> int:
     init_multihost(coord, nproc, pid)
     assert jax.process_count() == nproc, jax.process_count()
 
+    # Form the Gloo CPU-collectives context NOW, while every process is
+    # freshly synchronized by the jax.distributed join barrier. Context
+    # init is the one 30 s cliff in the cross-process CPU transport (a
+    # hardcoded GetKeyValue timeout inside XLA); left lazy it fires at
+    # the FIRST collective — gather_poses, AFTER each process has
+    # independently compiled three fleet-step programs — so on a loaded
+    # single-vCPU host the peer skew at that point can exceed 30 s
+    # ("Gloo context initialization failed: DEADLINE_EXCEEDED", observed
+    # once in-suite). An established context waits minutes per op, so
+    # post-barrier compile skew no longer matters.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("mcl-multihost-dryrun-start")
+
     import jax.numpy as jnp
 
     from monte_carlo_localization_tpu.config import MCLConfig
