@@ -328,10 +328,16 @@ def bench_live(num_particles, num_beams, gm, method="lut_pallas",
 
 
 def bench_fleet(fleet_size, num_particles, num_beams, maps, method="lut",
-                warmup=2, iters=20, quick=False):
+                chain=10, reps=3, iters=20, quick=False):
     """Fleet across MULTIPLE maps (BASELINE.json config #5): members share
-    each circuit's LUT block via map_assignment. Returns fleet-steps/sec
-    (each = fleet_size member updates)."""
+    each circuit's LUT block via map_assignment. Returns
+    (dispatch, chained) fleet-steps/sec (each = fleet_size member
+    updates). ``dispatch`` (one host->device dispatch per fleet
+    correction) is the headline `value`: a 64-car fleet step is big
+    enough (~23 ms) to amortize its own dispatch, so the ``chained``
+    path (``FleetFilter.step_many``) measures EQUAL within run-to-run
+    noise — unlike the single-filter step_many, whose 0.35 ms step is
+    dispatch-dominated and gains ~6.5x from chaining (PERF.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -340,7 +346,7 @@ def bench_fleet(fleet_size, num_particles, num_beams, maps, method="lut",
     from monte_carlo_localization_tpu.parallel import FleetFilter, stack_maps
 
     if quick:
-        warmup, iters = 1, 5
+        chain, reps, iters = 5, 1, 5
     beams = _beams(num_beams)
     if not isinstance(maps, (list, tuple)):
         maps = [maps]
@@ -377,20 +383,38 @@ def bench_fleet(fleet_size, num_particles, num_beams, maps, method="lut",
     poses0 = np.stack([map_poses[a] for a in asg])
     scans = np.stack([map_scans[a] for a in asg])
     state = ff.init_pose(poses0, seed=1)
-    actions = np.zeros((fleet_size, 3), np.float32)
-    for _ in range(warmup):
-        state, poses = ff.step(state, actions, scans)
+    action = np.zeros((fleet_size, 3), np.float32)
+    actions_k = np.tile(action, (chain, 1, 1))
+    scans_k = np.tile(scans, (chain, 1, 1))
+
+    # --- chained throughput (replay path: K fleet corrections/dispatch) ---
+    state, poses = ff.step_many(state, actions_k, scans_k)  # compile + warm
+    jax.block_until_ready(poses)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, poses = ff.step_many(state, actions_k, scans_k)
+    jax.block_until_ready(poses)
+    chained = reps * chain / (time.perf_counter() - t0)
+    err = np.linalg.norm(
+        np.asarray(poses)[-1, :, :2] - poses0[:, :2], axis=1
+    )
+    assert np.isfinite(err).all() and err.max() < 1.0, (
+        f"fleet diverged: max err {err.max()}"
+    )
+
+    # --- per-dispatch latency path ---
+    state, poses = ff.step(state, action, scans)
     jax.block_until_ready(poses)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, poses = ff.step(state, actions, scans)
+        state, poses = ff.step(state, action, scans)
     jax.block_until_ready(poses)
-    dt = time.perf_counter() - t0
+    dispatch = iters / (time.perf_counter() - t0)
     err = np.linalg.norm(np.asarray(poses)[:, :2] - poses0[:, :2], axis=1)
     assert np.isfinite(err).all() and err.max() < 1.0, (
         f"fleet diverged: max err {err.max()}"
     )
-    return iters / dt
+    return dispatch, chained
 
 
 CONFIGS = {
@@ -442,7 +466,7 @@ def run_config(n, quick=False, method=None):
             rays_per_sec=round(chained * c["particles"] * c["beams"]),
             method=m,
         )
-    ups = bench_fleet(
+    ups, chained = bench_fleet(
         c["fleet"], c["particles"], c["beams"], gm, method=m, quick=quick,
     )
     return dict(
@@ -451,6 +475,7 @@ def run_config(n, quick=False, method=None):
         value=round(ups, 2),
         unit="fleet-steps/s",
         vs_baseline=round(ups * c["fleet"] / NORTH_STAR_UPDATES_PER_SEC, 4),
+        chained_fleet_steps_per_sec=round(chained, 2),
         rays_per_sec=round(ups * c["fleet"] * c["particles"] * c["beams"]),
         method=m,
     )

@@ -89,10 +89,12 @@ class MCLConfig:
     # count <= this (ops.pallas_lut.pick_block). Larger blocks amortize
     # grid overhead (80 ~9% over 16 at 4000x1080 on v5e) at the cost of
     # 2*block*window_bytes VMEM scratch. 0 = auto
-    # (ops.pallas_lut.resolve_block_cap): cap 80 for small filters, 160
-    # once the per-member count reaches 32k — the v5e re-sweep after the
-    # compact-beam path measured 160 as -12% at 4000 particles but +6% at
-    # 100k (config #4), where the grid-iteration floor dominates.
+    # (ops.pallas_lut.resolve_block_cap): cap 80 for small launches, 160
+    # once one kernel launch processes >= 32k particle rows (members x
+    # particles for a fleet chunk) — the v5e re-sweep after the
+    # compact-beam path measured 160 as -12% at 4000 rows but +6% at
+    # 100k rows (config #4) and +4.5% at 16x4000-row fleet chunks
+    # (config #5), where the grid-iteration floor dominates.
     pallas_block: int = 0
     # unique-window DMA dedup (lut_pallas, single filter only): 0 = off
     # (the default), S > 0 = force S slots/block, -1 = auto (off). Kept as

@@ -279,7 +279,10 @@ def build_pallas_likelihood(
         inv_squash=cfg.inv_squash_factor,
         block=pick_block(
             num_particles // num_members,
-            resolve_block_cap(num_particles // num_members, cfg.pallas_block),
+            # the auto cap is keyed by the launch's TOTAL rows: a fleet
+            # chunk of 16 x 4000 rows is in the same measured block-160
+            # regime as a single 64k-particle filter
+            resolve_block_cap(num_particles, cfg.pallas_block),
             total_rows=num_particles,
         ),
         interpret=jax.default_backend() == "cpu",

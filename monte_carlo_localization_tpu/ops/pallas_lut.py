@@ -68,19 +68,21 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def resolve_block_cap(num_particles_per_member: int, cap: int = 0) -> int:
+def resolve_block_cap(total_rows_per_launch: int, cap: int = 0) -> int:
     """Resolve the configured block cap (``MCLConfig.pallas_block``).
 
     An explicit positive cap passes through. 0 (auto) picks the measured
-    best cap for the workload size on v5e: 80 for small filters, 160 once
-    the per-member particle count reaches 32k — at 100k particles
-    (config #4) the kernel is grid-iteration-bound and halving the grid
-    steps gains ~6%, while at 4000 particles block 160 LOSES ~12% (the
-    deeper scratch pipeline no longer fits the step). Both caps keep
-    2*block DMA semaphores within Mosaic's 512-entry SMEM budget."""
+    best cap for the workload size on v5e, keyed by the TOTAL particle
+    rows one kernel launch processes (members x particles for a fleet
+    chunk): 80 below 32k rows, 160 at or above. Measured: at 100k rows
+    (config #4) halving the grid steps gains ~6%, and a 64x4000-row
+    fleet chunk (config #5) gains ~4.5%, while at 4000 rows block 160
+    LOSES ~12% (the deeper scratch pipeline no longer fits the step).
+    Both caps keep 2*block DMA semaphores within Mosaic's 512-entry
+    SMEM budget."""
     if cap > 0:
         return cap
-    return 160 if num_particles_per_member >= 32768 else 80
+    return 160 if total_rows_per_launch >= 32768 else 80
 
 
 def pick_block(

@@ -320,6 +320,7 @@ class FleetFilter:
             )
         else:
             self._step = jax.jit(fleet_step, donate_argnums=(0,))
+        self._build_step_many(fleet_step)
 
     def _build_pallas_step(self) -> None:
         """Shared-map fast path: the fused Pallas likelihood runs over the
@@ -452,6 +453,24 @@ class FleetFilter:
             return FleetState(particles=p, log_weights=lw, keys=keys), poses
 
         self._step = jax.jit(fleet_step, donate_argnums=(0,))
+        self._build_step_many(fleet_step)
+
+    def _build_step_many(self, fleet_step) -> None:
+        """K chained fleet corrections per dispatch (`lax.scan` over the
+        fleet step) — the same dispatch-amortizing throughput path the
+        single filter's ``step_many`` provides. With a mesh, shardings
+        propagate from the operands (the (K, F, ...) scan inputs shard
+        along their fleet axis like the per-step arguments)."""
+
+        def fleet_steps(state, actions, scans, beams, gmap, sensor):
+            def body(s, inp):
+                a, o = inp
+                s2, poses = fleet_step(s, a, o, beams, gmap, sensor)
+                return s2, poses
+
+            return jax.lax.scan(body, state, (actions, scans))
+
+        self._step_many = jax.jit(fleet_steps, donate_argnums=(0,))
 
     def set_beam_angles(self, beam_angles: np.ndarray) -> None:
         self.beam_angles = jnp.asarray(beam_angles, dtype=jnp.float32)
@@ -526,6 +545,33 @@ class FleetFilter:
         if self.beam_angles is None:
             raise RuntimeError("beam_angles not set — call set_beam_angles() first")
         return self._step(
+            state,
+            jnp.asarray(actions, dtype=jnp.float32),
+            jnp.asarray(scans, dtype=jnp.float32),
+            self.beam_angles,
+            self.map,
+            self.sensor,
+        )
+
+    def step_many(
+        self, state: FleetState, actions, scans
+    ) -> tuple[FleetState, jnp.ndarray]:
+        """K sequential fleet corrections in ONE device dispatch.
+
+        ``actions`` is (K, F, 3) and ``scans`` is (K, F, R) — one
+        per-member (action, scan) batch per correction, chained via
+        ``lax.scan``. Returns (state_after_K, poses (K, F, 3)).
+
+        Useful for replaying K recorded ticks in one call; NOT a
+        throughput win at config #5 scale — a 64x4000 fleet step
+        (~23 ms) already amortizes its own dispatch, so on v5e the
+        chained rate measures equal to per-dispatch ``step`` within
+        run-to-run noise (unlike the single filter, whose 0.35 ms step
+        is dispatch-dominated and gains ~6.5x from step_many;
+        PERF.md)."""
+        if self.beam_angles is None:
+            raise RuntimeError("beam_angles not set — call set_beam_angles() first")
+        return self._step_many(
             state,
             jnp.asarray(actions, dtype=jnp.float32),
             jnp.asarray(scans, dtype=jnp.float32),

@@ -217,6 +217,12 @@ class TestGeometryHelpers:
         assert resolve_block_cap(32768 - 1, 0) == 80
         assert resolve_block_cap(32768, 0) == 160
         assert resolve_block_cap(100_000, 0) == 160
+        # the cap is keyed by TOTAL rows per kernel launch: a fleet chunk
+        # of 16 members x 4000 particles is in the block-160 regime even
+        # though each member is a 4000-particle filter (measured +4.5%
+        # on config #5), and pick_block honors the per-member divisor
+        assert resolve_block_cap(16 * 4000, 0) == 160
+        assert pick_block(4000, 160, total_rows=64_000) == 160
         # the auto caps compose with pick_block's divisor rule
         assert pick_block(100_000, resolve_block_cap(100_000, 0)) == 160
         assert pick_block(4000, resolve_block_cap(4000, 0)) == 80

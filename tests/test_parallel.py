@@ -46,6 +46,37 @@ class TestFleet:
         err = np.linalg.norm(np.asarray(poses)[:, :2] - true_pose[:2], axis=1)
         assert (err < 0.15).all()
 
+    def test_fleet_step_many_matches_steps(
+        self, clutter_map, beams60, scan60, true_pose
+    ):
+        """step_many(K) is bitwise the same chain as K sequential steps
+        (same fleet_step under lax.scan — the dispatch-amortized replay
+        path must not change the filter)."""
+        k, f = 3, 2
+        ff = FleetFilter(
+            clutter_map,
+            fleet_size=f,
+            config=MCLConfig(max_particles=128, raycast_method="sphere"),
+            beam_angles=beams60,
+        )
+        actions = np.tile([0.05, 0.0, 0.01], (f, 1)).astype(np.float32)
+        scans = np.tile(scan60, (f, 1))
+
+        s1 = ff.init_pose(np.tile(true_pose, (f, 1)), seed=0)
+        seq_poses = []
+        for _ in range(k):
+            s1, p = ff.step(s1, actions, scans)
+            seq_poses.append(np.asarray(p))
+
+        s2 = ff.init_pose(np.tile(true_pose, (f, 1)), seed=0)
+        s2, poses = ff.step_many(
+            s2, np.tile(actions, (k, 1, 1)), np.tile(scans, (k, 1, 1))
+        )
+        np.testing.assert_array_equal(np.asarray(poses), np.stack(seq_poses))
+        np.testing.assert_array_equal(
+            np.asarray(s2.particles), np.asarray(s1.particles)
+        )
+
     def test_members_independent(self, clutter_map, beams60, scan60, true_pose):
         """Different keys per member -> different particle clouds."""
         ff = FleetFilter(
