@@ -178,7 +178,16 @@ def cmd_live(args) -> int:
     node = MCLNode(gm, cfg, log=print if args.verbose else (lambda s: None))
     if args.record_out:
         node.add_sink(_make_sink(args.record_out))
-    if trace.truth_pose is not None:
+    if getattr(args, "resume_from", None):
+        from monte_carlo_localization_tpu.runtime import load_state
+
+        node.state, meta = load_state(args.resume_from, tracker=node.tracker)
+        node.iters = int(meta.get("iters", 0))
+        if meta.get("inferred_pose") is not None:
+            node.inferred_pose = np.asarray(meta["inferred_pose"])
+        if trace.beam_angles is not None:
+            node.on_scan(trace.scan_ranges[0], beam_angles=trace.beam_angles)
+    elif trace.truth_pose is not None:
         node.initialize_pose(trace.truth_pose[0])
 
     duration = args.duration or min(trace.duration, 10.0)
@@ -198,6 +207,14 @@ def cmd_live(args) -> int:
                     trace.scan_ranges[ev.index], beam_angles=trace.beam_angles
                 )
         wall = time.monotonic() - t0
+    if getattr(args, "checkpoint_out", None):
+        from monte_carlo_localization_tpu.runtime import save_state
+
+        save_state(
+            args.checkpoint_out, node.state,
+            iters=node.iters, inferred_pose=node.inferred_pose,
+            tracker=node.tracker,
+        )
     node.close_sinks()
     print(
         json.dumps(
@@ -370,6 +387,12 @@ def build_parser() -> argparse.ArgumentParser:
                     "dispatch them as one step_many(K) — amortizes the "
                     "per-dispatch overhead over K corrections at <= K-1 "
                     "ticks of extra pose latency (1 = off)")
+    lv.add_argument("--checkpoint-out", default=None, dest="checkpoint_out",
+                    help="write the final filter/tracker state (npz) when "
+                    "the live window ends")
+    lv.add_argument("--resume-from", default=None, dest="resume_from",
+                    help="resume the filter/tracker from a checkpoint "
+                    "instead of seeding from the trace's first truth pose")
     lv.add_argument("-v", "--verbose", action="store_true")
     lv.set_defaults(fn=cmd_live, resample=None)
 

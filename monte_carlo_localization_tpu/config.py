@@ -105,6 +105,27 @@ class MCLConfig:
     # with > S distinct windows fall back to the one-DMA-per-particle
     # kernel inside the same jitted step, so the path stays correct.
     pallas_dedup_slots: int = 0
+    # sub-bin angular refinement (lut_pallas): keep the fractional part of
+    # the particle heading's theta-bin position and linearly interpolate
+    # each beam's expected range between its LUT bin and the +1 neighbor
+    # (already resident in the DMA'd window — no extra memory traffic).
+    # Removes the coherent +-half-bin (0.125 deg at T~1440) heading
+    # quantization that dominated replay RMSE vs the continuous-angle CPU
+    # oracle. False pins the round-to-nearest-bin behavior.
+    pallas_subbin: bool = True
+    # distributed resampling of ShardedParticleFilter: "bucketed" (default
+    # — covered ancestor rows cross shards through fringe ppermutes + a
+    # tiny seed psum, O(fringe + D) ICI bytes/step; falls back to the
+    # all-gather path via lax.cond if a source lands beyond the fringe) |
+    # "allgather" (compat: full N x 3 particle + N-CDF all_gather, O(N)
+    # bytes — the SURVEY §7 hard-part-6 anti-pattern, kept as the
+    # fallback/bitwise-reference path).
+    sharded_resample: str = "bucketed"
+    # fringe capacity (slots per side) of the bucketed exchange; 0 = auto
+    # (max(64, n_local // 8)). Larger fringes tolerate more cross-shard
+    # weight imbalance before the all-gather fallback fires, at O(fringe)
+    # extra ICI bytes.
+    sharded_fringe: int = 0
     resample_method: str = "systematic"  # "systematic" | "multinomial" (reference compat)
     exact_dt_heuristic: bool = True  # reproduce reference dt reconstruction (:452-471)
     # pipeline live corrections: dispatch without blocking, harvest poses

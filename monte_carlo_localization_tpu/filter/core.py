@@ -290,6 +290,7 @@ def build_pallas_likelihood(
         lut_dtype=dtype,
         per_member_maps=num_maps > 1,
         dedup_slots=_resolve_dedup_slots(cfg, num_particles, num_members),
+        subbin=cfg.pallas_subbin,
     )
     return grid_map, query
 

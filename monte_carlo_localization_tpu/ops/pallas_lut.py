@@ -153,9 +153,14 @@ def window_entries(
     """Static per-particle DMA window size in LUT ENTRIES — a multiple of
     both the 512 B subrow (512 entries u8, 256 u16) and one full (8, 128)
     f32 vreg (1024 entries): Mosaic's dynamic sublane rotate needs the
-    rotated (s_sub, 128) f32 window to be whole vregs."""
+    rotated (s_sub, 128) f32 window to be whole vregs.
+
+    The span carries ONE guard bin past the last beam lane: the sub-bin
+    angular lerp (``subbin``) reads each beam's +1 neighbor bin, so the
+    window must stay valid at lane ``q_max + 1`` for any subrow residual.
+    """
     base, k, e = beam_geometry(beam_angles, t_bins)
-    span = k * (len(beam_angles) - 1) + int(e.max()) + 1
+    span = k * (len(beam_angles) - 1) + int(e.max()) + 1 + 1  # +1 lerp guard
     if span > t_bins:
         raise ValueError(
             f"beam window spans {span} bins > T={t_bins}; use "
@@ -206,6 +211,7 @@ def build_lut_query_fn(
     per_member_maps: bool = False,
     dedup_slots: int = 0,
     compact_beams: bool | None = None,
+    subbin: bool = False,
 ):
     """Returns (query, info): query(lut_flat, particles, obs_px) -> (N,)
     log weights.
@@ -243,6 +249,19 @@ def build_lut_query_fn(
     via ``lax.cond`` — bit-identical results either way, so the dedup
     path is safe to enable for any workload (global-seed clouds simply
     take the standard branch until they converge).
+
+    With ``subbin`` the particle heading's position on the theta axis is
+    NOT rounded to the nearest bin: the window start uses
+    ``floor(theta*T/2pi)`` and the fractional part f is kept (one extra
+    f32 scalar-prefetch vector), and each beam's expected range linearly
+    interpolates the window between its bin and the +1 neighbor lane
+    (one static roll + fma per particle window). This removes the
+    coherent +-half-bin (0.125 deg at T~1440) heading quantization that
+    dominated replay RMSE vs the continuous-angle CPU oracle — the
+    neighbor bin is already resident in the DMA'd window, so the
+    refinement costs no extra memory traffic (reference DDA semantics:
+    /root/reference/src/particle_filter.cpp:611-650 march the exact
+    continuous angle).
     """
     r = len(beam_angles)
     base, k, e = beam_geometry(beam_angles, t_bins)
@@ -339,6 +358,23 @@ def build_lut_query_fn(
         xb = pltpu.roll(x1, -(a + 1), 0)
         return jnp.where(carry, xb, xa)
 
+    def next_bin(x):
+        """The +1-bin neighbor of a rotated flat (s_sub, 128) window:
+        lane q of the result holds the window's lane q+1, with the
+        lane-127 -> next-sublane carry. Both rolls are STATIC (expressed
+        as positive modular shifts — pltpu.roll rejects negative static
+        shifts)."""
+        xr = pltpu.roll(x, LANE - 1, 1)  # == roll by -1 on lanes
+        xr0 = pltpu.roll(xr, x.shape[0] - 1, 0)  # == roll by -1 on sublanes
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        return jnp.where(lane == LANE - 1, xr0, xr)
+
+    def lerp_bins(x, f):
+        """Sub-bin interpolation toward the +1 neighbor by scalar f in
+        [0, 1): d(q + f) = x[q] + f*(x[q+1] - x[q]). The guard bin from
+        window_entries keeps lane q_max+1 valid for any subrow residual."""
+        return x + f * (next_bin(x) - x)
+
     def beam_model(d, obs, mask):
         """Analytic beam model, elementwise over any broadcastable
         (expected d, observed obs, validity mask) layout."""
@@ -365,10 +401,11 @@ def build_lut_query_fn(
         return beam_model(jnp.stack(rows), obs_row[None], masks_ref[None])
 
     # one-hot selection is exact with a single bf16 MXU pass for u8 LUT
-    # values (integers <= 254 are exact bf16); u16 values need the
-    # multi-pass f32 decomposition
+    # values (integers <= 254 are exact bf16); u16 values — and sub-bin
+    # lerped windows, whose fractional bits a single bf16 pass would
+    # round back to ~half-pixel error — need the multi-pass decomposition
     sel_precision = (
-        jax.lax.Precision.HIGHEST if itemsize == 2 else
+        jax.lax.Precision.HIGHEST if (itemsize == 2 or subbin) else
         jax.lax.Precision.DEFAULT
     )
 
@@ -388,7 +425,12 @@ def build_lut_query_fn(
             )
         return beam_model(acc, obs_row, masks_ref)
 
-    def kernel(y0_ref, rem_ref, obs_ref, masks_ref, *rest):
+    def kernel(*args):
+        if subbin:
+            y0_ref, rem_ref, frac_ref, obs_ref, masks_ref, *rest = args
+        else:
+            y0_ref, rem_ref, obs_ref, masks_ref, *rest = args
+            frac_ref = None
         if compact_beams:
             sel_ref, lut_ref, out_ref, scratch, sems = rest
         else:
@@ -431,7 +473,10 @@ def build_lut_query_fn(
             win = scratch[slot, s].reshape(s_sub, LANE)
             # Mosaic has no u8/u16->f32 cast; widen through int32
             win = win.astype(jnp.int32).astype(jnp.float32)
-            rows.append(rotate_flat(win, rem_ref[i * block + s]))
+            w = rotate_flat(win, rem_ref[i * block + s])
+            if subbin:
+                w = lerp_bins(w, frac_ref[i * block + s])
+            rows.append(w)
         if compact_beams:
             logp = block_logp_compact(
                 rows, sel_ref, obs_ref[0], masks_ref[:]
@@ -449,12 +494,18 @@ def build_lut_query_fn(
         )
     n_slots = min(n_slots, block)
 
-    def kernel_dedup(sy0_ref, widx_ref, rem_ref, obs_ref, masks_ref,
-                     lut_ref, out_ref, scratch, sems):
+    def kernel_dedup(*args):
         """Unique-window variant: ``n_slots`` DMAs per block instead of
         ``block``; scratch is flattened to (2*n_slots, ...) so each
         particle's window read is ONE dynamic leading index (buf*S + slot
         rank) — no per-slot branches on the scalar core."""
+        if subbin:
+            (sy0_ref, widx_ref, rem_ref, frac_ref, obs_ref, masks_ref,
+             lut_ref, out_ref, scratch, sems) = args
+        else:
+            (sy0_ref, widx_ref, rem_ref, obs_ref, masks_ref,
+             lut_ref, out_ref, scratch, sems) = args
+            frac_ref = None
         i = pl.program_id(0)
         nblocks = pl.num_programs(0)
         buf = jax.lax.rem(i, 2)
@@ -488,10 +539,13 @@ def build_lut_query_fn(
 
         rows = []
         for s in range(block):
-            w = widx_ref[i * block + s]
-            win = scratch[buf * n_slots + w].reshape(s_sub, LANE)
+            wi = widx_ref[i * block + s]
+            win = scratch[buf * n_slots + wi].reshape(s_sub, LANE)
             win = win.astype(jnp.int32).astype(jnp.float32)
-            rows.append(rotate_flat(win, rem_ref[i * block + s]))
+            w = rotate_flat(win, rem_ref[i * block + s])
+            if subbin:
+                w = lerp_bins(w, frac_ref[i * block + s])
+            rows.append(w)
         logp = block_logp(rows, obs_ref[0], masks_ref)
         for s in range(block):
             out_ref[s, 0] = inv_squash * jnp.sum(logp[s])
@@ -526,7 +580,8 @@ def build_lut_query_fn(
             pl.BlockSpec(memory_space=pl.ANY),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # y0 (N,), rem (N,)
+        # y0 (N,), rem (N,) [+ frac (N,) f32 when subbin]
+        num_scalar_prefetch=3 if subbin else 2,
         grid=(n // block,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -551,7 +606,8 @@ def build_lut_query_fn(
     call_dedup = None
     if n_slots > 0:
         grid_spec_dedup = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,  # slot_y0 (nb*S,), widx (N,), rem (N,)
+            # slot_y0 (nb*S,), widx (N,), rem (N,) [+ frac (N,) if subbin]
+            num_scalar_prefetch=4 if subbin else 3,
             grid=(n // block,),
             in_specs=[
                 pl.BlockSpec(
@@ -636,7 +692,16 @@ def build_lut_query_fn(
                     "combine: member offsets assume dense per-member blocks"
                 )
             cell = row_map[cell]
-        b0 = jnp.round(particles[:, 2] * (t / (2.0 * math.pi))).astype(jnp.int32)
+        bpos = particles[:, 2] * (t / (2.0 * math.pi))
+        if subbin:
+            # window starts at the FLOOR bin; the fractional part rides to
+            # the kernel (f32 scalar prefetch) for the per-beam +1 lerp
+            bfloor = jnp.floor(bpos)
+            b0 = bfloor.astype(jnp.int32)
+            frac = (bpos - bfloor).astype(jnp.float32)
+        else:
+            b0 = jnp.round(bpos).astype(jnp.int32)
+            frac = None
         b0 = jax.lax.rem(b0 + base, t)
         b0 = jnp.where(b0 < 0, b0 + t, b0)
         rem = jax.lax.rem(b0, eps)
@@ -654,6 +719,7 @@ def build_lut_query_fn(
 
         obs_clip = jnp.minimum(obs_px, m)
         lut3 = lut_flat.reshape(-1, sub_lanes, LANE)
+        pre = (y0, rem, frac) if subbin else (y0, rem)
 
         if compact_beams:
             # beams sit on the first r lanes of one compact 128-lane tile;
@@ -667,7 +733,7 @@ def build_lut_query_fn(
                 )
             obs_lanes = obs2.reshape(-1, 1, LANE)
             logw = call(
-                y0, rem, obs_lanes, jnp.asarray(masks_c_np),
+                *pre, obs_lanes, jnp.asarray(masks_c_np),
                 jnp.asarray(sel_np), lut3,
             )[:, 0]
             return jnp.where(oob, -1e4, logw)
@@ -685,7 +751,7 @@ def build_lut_query_fn(
 
         masks_dev = jnp.asarray(masks_const)
         if call_dedup is None:
-            logw = call(y0, rem, obs_lanes, masks_dev, lut3)[:, 0]
+            logw = call(*pre, obs_lanes, masks_dev, lut3)[:, 0]
             return jnp.where(oob, -1e4, logw)
 
         # ---- unique-window dedup path ----
@@ -696,6 +762,7 @@ def build_lut_query_fn(
         perm = jnp.argsort(y0)
         y0s = y0[perm]
         rems = rem[perm]
+        fracs = frac[perm] if subbin else None
         y0b = y0s.reshape(nb, block)
         newf = jnp.concatenate(
             [
@@ -716,20 +783,33 @@ def build_lut_query_fn(
             .max(y0b)
         )
 
-        logw_sorted = jax.lax.cond(
-            overflow,
-            lambda a: call(a[0], a[1], obs_lanes, masks_dev, lut3)[:, 0],
-            lambda a: call_dedup(
-                a[2].reshape(-1), a[3].reshape(-1), a[1],
-                obs_lanes, masks_dev, lut3,
-            )[:, 0],
-            (y0s, rems, slot_y0, widx),
-        )
+        if subbin:
+            logw_sorted = jax.lax.cond(
+                overflow,
+                lambda a: call(
+                    a[0], a[1], a[4], obs_lanes, masks_dev, lut3
+                )[:, 0],
+                lambda a: call_dedup(
+                    a[2].reshape(-1), a[3].reshape(-1), a[1], a[4],
+                    obs_lanes, masks_dev, lut3,
+                )[:, 0],
+                (y0s, rems, slot_y0, widx, fracs),
+            )
+        else:
+            logw_sorted = jax.lax.cond(
+                overflow,
+                lambda a: call(a[0], a[1], obs_lanes, masks_dev, lut3)[:, 0],
+                lambda a: call_dedup(
+                    a[2].reshape(-1), a[3].reshape(-1), a[1],
+                    obs_lanes, masks_dev, lut3,
+                )[:, 0],
+                (y0s, rems, slot_y0, widx),
+            )
         logw = jnp.zeros((n,), jnp.float32).at[perm].set(logw_sorted)
         return jnp.where(oob, -1e4, logw)
 
     return query, dict(
         n_e=n_e, window_bytes=wents * itemsize, window_entries=wents,
         row_stride=row_stride, t_bins=t_bins, lut_dtype=str(lut_dtype),
-        dedup_slots=n_slots,
+        dedup_slots=n_slots, subbin=subbin,
     )

@@ -157,6 +157,147 @@ def systematic_resample_rows(
     return filled
 
 
+def _last_valid_scan(valid: jnp.ndarray, rows: jnp.ndarray):
+    """Forward-fill ``rows`` with the last valid row (associative scan)."""
+
+    def last_valid(a, b):
+        av, ar = a
+        bv, br = b
+        keep_b = bv.reshape(bv.shape + (1,) * (br.ndim - bv.ndim))
+        return av | bv, jnp.where(keep_b, br, ar)
+
+    return jax.lax.associative_scan(last_valid, (valid, rows))
+
+
+def distributed_systematic_resample_rows(
+    particles: jnp.ndarray,
+    global_cdf_local: jnp.ndarray,
+    u0: jnp.ndarray,
+    num_total: int,
+    axis: str,
+    num_shards: int,
+    fringe: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Bucketed distributed systematic resampling — call INSIDE shard_map.
+
+    The straightforward sharded resampler all-gathers the full (N, D)
+    particle matrix plus the (N,) global CDF every step (O(N) ICI bytes,
+    the SURVEY §7 hard-part-6 anti-pattern). This version exchanges only
+    what actually crosses shards:
+
+    * Shard p owns global sources ``[p*n_local, (p+1)*n_local)`` and output
+      slots of the same range. With ``g[j] = N*cdf[j] - u0``, source j's
+      first output slot is ``floor(g[j-1]) + 1`` (the scatter-side
+      inversion of :func:`systematic_invert_cdf_window`); since shard
+      weight totals concentrate around 1/D, a source's first slot lands
+      near its own index — each shard scatters its covered sources' ROWS
+      into a local buffer spanning its own slot window plus a ``fringe``
+      of C slots on each side.
+    * The two C-row fringes ride ONE ``ppermute`` each to the neighbor
+      shards (O(C) bytes instead of O(N); every slot has exactly one
+      covered writer globally, so merging is a validity select).
+    * Slot ``p*n_local`` may be covered by a source with no writer in any
+      fringe (a long run from a far shard). Its covering source index
+      ``j0_p = #{j: g[j] < p*n_local}`` is an exact integer ``psum`` of
+      local counts, and the (D, row) seed-row table is one tiny masked
+      ``psum`` — runs of any length are then forward-filled locally.
+    * A source whose first slot falls OUTSIDE its shard's fringe window
+      (extreme cross-shard weight imbalance) flips the returned overflow
+      flag (an exact psum, identical on every shard); the caller falls
+      back to the all-gather path for that step via ``lax.cond``.
+
+    Bitwise equality with ``all_particles[systematic_invert_cdf_window(
+    all_cdf, ...)]`` (pinned in tests): the g arithmetic consumes the same
+    floats (the boundary ``g[j-1]`` crosses shards by value via a scalar
+    ppermute, never recomputed), ownership resolution is equivalent
+    (the max-index scatter winner is always the covering source), and the
+    row forward-fill mirrors :func:`systematic_resample_rows`.
+
+    Returns ``(rows (n_local, ...), overflow () bool)``.
+    """
+    n_local = particles.shape[0]
+    d = num_shards
+    c = int(min(max(fringe, 1), n_local))
+    shard = jax.lax.axis_index(axis)
+
+    g = num_total * global_cdf_local - u0  # this shard's g segment
+    # previous shard's LAST g value, by value (shard 0 is overridden below)
+    g_prev_last = jax.lax.ppermute(
+        g[-1], axis, [(i, i + 1) for i in range(d - 1)]
+    )
+    prev_floor = jnp.concatenate(
+        [jnp.floor(g_prev_last)[None], jnp.floor(g[:-1])]
+    ).astype(jnp.int32)
+    # global source 0's first slot is DEFINED as 0 (matching
+    # systematic_invert_cdf_window's leading zero), independent of g
+    prev_floor = jnp.where(
+        (shard == 0) & (jnp.arange(n_local) == 0), -1, prev_floor
+    )
+    floors = jnp.floor(g).astype(jnp.int32)
+    covered = floors > prev_floor  # covers >= 1 slot; unique writer/slot
+
+    first_slot = prev_floor + 1  # global slot index
+    buf_len = n_local + 2 * c
+    fb = first_slot - (shard * n_local - c)  # buffer coordinate
+    in_buf = (fb >= 0) & (fb < buf_len)
+    overflow_local = jnp.any(covered & ~in_buf)
+    target = jnp.where(covered & in_buf, fb, buf_len)  # buf_len -> dropped
+    buf_rows = (
+        jnp.zeros((buf_len,) + particles.shape[1:], particles.dtype)
+        .at[target]
+        .set(particles, mode="drop")
+    )
+    buf_valid = (
+        jnp.zeros((buf_len,), jnp.bool_).at[target].set(True, mode="drop")
+    )
+
+    # fringe exchange: my LEFT fringe belongs to shard p-1's slot window,
+    # my RIGHT fringe to shard p+1's. Missing links zero-fill (invalid).
+    perm_up = [(i, i + 1) for i in range(d - 1)]  # data moves p -> p+1
+    perm_dn = [(i + 1, i) for i in range(d - 1)]  # data moves p -> p-1
+    from_left_rows = jax.lax.ppermute(buf_rows[n_local + c:], axis, perm_up)
+    from_left_valid = jax.lax.ppermute(buf_valid[n_local + c:], axis, perm_up)
+    from_right_rows = jax.lax.ppermute(buf_rows[:c], axis, perm_dn)
+    from_right_valid = jax.lax.ppermute(buf_valid[:c], axis, perm_dn)
+
+    rows = buf_rows[c:c + n_local]
+    valid = buf_valid[c:c + n_local]
+    # exactly one covered writer exists per slot globally, so the merge is
+    # a pure select on the received validity
+    sel_l = from_left_valid.reshape((c,) + (1,) * (rows.ndim - 1))
+    rows = rows.at[:c].set(jnp.where(sel_l, from_left_rows, rows[:c]))
+    valid = valid.at[:c].set(valid[:c] | from_left_valid)
+    sel_r = from_right_valid.reshape((c,) + (1,) * (rows.ndim - 1))
+    rows = rows.at[n_local - c:].set(
+        jnp.where(sel_r, from_right_rows, rows[n_local - c:])
+    )
+    valid = valid.at[n_local - c:].set(valid[n_local - c:] | from_right_valid)
+
+    # seed slot p*n_local with its covering source's row: j0 by exact
+    # integer psum, the row by a masked psum of the owning shard's row
+    boundaries = jnp.arange(d, dtype=jnp.float32) * n_local
+    counts_local = jnp.sum(
+        (g[:, None] < boundaries[None, :]).astype(jnp.int32), axis=0
+    )
+    j0 = jnp.clip(jax.lax.psum(counts_local, axis), 0, num_total - 1)  # (D,)
+    local_idx = j0 - shard * n_local
+    mine = (local_idx >= 0) & (local_idx < n_local)
+    contrib = jnp.where(
+        mine.reshape((d,) + (1,) * (particles.ndim - 1)),
+        particles[jnp.clip(local_idx, 0, n_local - 1)],
+        jnp.zeros((), particles.dtype),
+    )
+    seeds = jax.lax.psum(contrib, axis)  # (D, ...) on every shard
+    rows = rows.at[0].set(jax.lax.dynamic_index_in_dim(
+        seeds, shard, keepdims=False
+    ))
+    valid = valid.at[0].set(True)
+
+    _, filled = _last_valid_scan(valid, rows)
+    overflow = jax.lax.psum(overflow_local.astype(jnp.int32), axis) > 0
+    return filled, overflow
+
+
 def resample_indices(
     key: jax.Array,
     log_weights: jnp.ndarray,

@@ -10,13 +10,21 @@ src/particle_filter.cpp:586-650). Here 100k+ particles spread over chips:
 * weight normalization is a global logsumexp via ``psum``,
 * systematic resampling needs the global CDF: shard weight totals are
   exchanged with one tiny ``all_gather`` (D scalars) to place each
-  shard's cumsum in the global prefix, and ancestor rows are fetched with
-  an ``all_gather`` of the particle matrix (N x 3 — ~1 MB at 100k, one
-  ICI hop). A ppermute-bucketed exchange is the documented scale-out
-  path beyond ~1M particles.
+  shard's cumsum in the global prefix, and ancestor rows cross shards
+  through the BUCKETED exchange
+  (:func:`~..ops.resample.distributed_systematic_resample_rows`): each
+  shard scatters its covered sources' rows into its own slot window plus
+  a C-row fringe, the fringes ride one ``ppermute`` per neighbor, and
+  per-destination seed rows arrive via a tiny psum — O(C + D) bytes per
+  step instead of the O(N) full particle-matrix ``all_gather`` (SURVEY
+  §7 hard-part 6). Pathological cross-shard weight imbalance (a covered
+  source landing beyond the fringe) trips an exact psum flag and the
+  step falls back to the all-gather path via ``lax.cond`` — results are
+  bitwise identical either way (pinned in tests/test_parallel.py).
 * the pose estimate is a psum-weighted mean + circular mean.
 
-Everything runs inside ONE ``shard_map``-decorated jitted step.
+Everything runs inside ONE ``shard_map``-decorated jitted step;
+``step_many`` chains K such steps per dispatch via ``lax.scan``.
 """
 
 from __future__ import annotations
@@ -37,6 +45,7 @@ from monte_carlo_localization_tpu.mapping.grid_map import GridMap
 from monte_carlo_localization_tpu.models.motion import motion_model
 from monte_carlo_localization_tpu.models.sensor import SensorModel
 from monte_carlo_localization_tpu.ops.resample import (
+    distributed_systematic_resample_rows,
     systematic_invert_cdf_window,
 )
 
@@ -76,6 +85,18 @@ class ShardedParticleFilter:
                 f"max_particles ({self.config.max_particles}) must divide "
                 f"evenly over {self.num_devices} devices"
             )
+        if self.config.sharded_resample not in ("bucketed", "allgather"):
+            raise ValueError(
+                f"Unknown sharded_resample: {self.config.sharded_resample!r}"
+            )
+        n_local = self.config.max_particles // self.num_devices
+        # fringe capacity of the bucketed ancestor exchange: how far (in
+        # slots) a source's first output slot may stray from its own shard
+        # window before the step falls back to the all-gather path. The
+        # misalignment is driven by cross-shard weight imbalance, which
+        # resampling itself re-balances every step; n_local/8 (floor 64)
+        # absorbs ordinary imbalance while keeping the exchange O(C).
+        self._fringe = self.config.sharded_fringe or max(64, n_local // 8)
         self.sensor = SensorModel.create(
             max_range_px=grid_map.max_range_px,
             resolution=grid_map.resolution,
@@ -149,20 +170,36 @@ class ShardedParticleFilter:
             # folded, so every shard draws the identical value
             u0 = jax.random.uniform(k_resample, ())
 
-            # source rows can live on any shard: gather the full particle
-            # matrix (N x 3) and the full CDF once over ICI
-            all_particles = jax.lax.all_gather(
-                particles, axis
-            ).reshape(n_total, 3)
-            all_cdf = jax.lax.all_gather(global_cdf_local, axis).reshape(-1)
-            # CDF inversion for this shard's output slots [slot0, slot0 +
-            # n_local), scatter-side — no searchsorted, whose binary search
-            # XLA:TPU lowers to serialized gather rounds (see
-            # ops/resample.systematic_invert_cdf_window)
-            src = systematic_invert_cdf_window(
-                all_cdf, u0, n_total, shard * n_local, n_local
-            )
-            proposal = all_particles[src]
+            def full_gather(_):
+                """All-gather fallback/compat path: fetch the full particle
+                matrix (N x 3) and CDF, invert this shard's slot window.
+                O(N) ICI bytes — the bucketed path's overflow escape and
+                the ``sharded_resample='allgather'`` compatibility mode."""
+                all_particles = jax.lax.all_gather(
+                    particles, axis
+                ).reshape(n_total, 3)
+                all_cdf = jax.lax.all_gather(
+                    global_cdf_local, axis
+                ).reshape(-1)
+                # scatter-side CDF inversion — no searchsorted, whose
+                # binary search XLA:TPU lowers to serialized gather rounds
+                src = systematic_invert_cdf_window(
+                    all_cdf, u0, n_total, shard * n_local, n_local
+                )
+                return all_particles[src]
+
+            if cfg.sharded_resample == "bucketed" and self.num_devices > 1:
+                # bucketed ancestor exchange: O(fringe + D) ICI bytes
+                # (SURVEY §7 hard-part 6); bitwise equal to full_gather
+                rows_b, overflow = distributed_systematic_resample_rows(
+                    particles, global_cdf_local, u0, n_total, axis,
+                    self.num_devices, self._fringe,
+                )
+                proposal = jax.lax.cond(
+                    overflow, full_gather, lambda _: rows_b, None
+                )
+            else:
+                proposal = full_gather(None)
 
             # ---- motion (local) ----
             proposal = motion_model(
@@ -238,6 +275,16 @@ class ShardedParticleFilter:
 
         self._step = jax.jit(step, donate_argnums=(0,))
 
+        def steps_fn(state, actions, scans, beams, gmap, sensor):
+            def body(s, inp):
+                a, o = inp
+                s2, pose = step(s, a, o, beams, gmap, sensor)
+                return s2, pose
+
+            return jax.lax.scan(body, state, (actions, scans))
+
+        self._step_many = jax.jit(steps_fn, donate_argnums=(0,))
+
     def log_quality(self, state: MCLState) -> float:
         """Global log mean measurement likelihood of the latest correction
         (Augmented-MCL w_avg) — same contract as ParticleFilter.log_quality."""
@@ -249,11 +296,27 @@ class ShardedParticleFilter:
         particles, log_w = initialize_global(
             sub, self.map, self.config.max_particles
         )
+        return self.place_state(
+            MCLState(particles=particles, log_weights=log_w, key=key)
+        )
+
+    def place_state(self, state: MCLState) -> MCLState:
+        """Re-place an MCLState onto this filter's mesh: particle-axis
+        leaves shard over ``axis``, scalars/key replicate. Used by
+        ``init_global`` and by checkpoint restore
+        (``runtime.checkpoint.load_state(path, place=spf.place_state)``) —
+        a checkpoint written on one mesh resumes on another."""
+        if state.num_particles != self.config.max_particles:
+            raise ValueError(
+                f"state holds {state.num_particles} particles, filter "
+                f"expects {self.config.max_particles}"
+            )
         sh = NamedSharding(self.mesh, P(self.axis))
         return MCLState(
-            particles=jax.device_put(particles, sh),
-            log_weights=jax.device_put(log_w, sh),
-            key=key,
+            particles=jax.device_put(jnp.asarray(state.particles), sh),
+            log_weights=jax.device_put(jnp.asarray(state.log_weights), sh),
+            key=state.key,
+            log_quality=state.log_quality,
         )
 
     def set_beam_angles(self, beam_angles: np.ndarray) -> None:
@@ -268,6 +331,27 @@ class ShardedParticleFilter:
             state,
             jnp.asarray(action, dtype=jnp.float32),
             jnp.asarray(scan, dtype=jnp.float32),
+            self.beam_angles,
+            self.map,
+            self.sensor,
+        )
+
+    def step_many(self, state: MCLState, actions, scans):
+        """K sequential sharded corrections in ONE device dispatch.
+
+        ``actions`` is (K, 3), ``scans`` is (K, R); the K steps chain via
+        ``lax.scan`` exactly like the single-filter replay path
+        (filter/core.py ParticleFilter.step_many), so trace replay on a
+        sharded filter stops paying per-dispatch host latency. Bitwise
+        equal to K calls of :meth:`step` (pinned in tests/test_parallel.py).
+        Returns (state_after_K, poses (K, 3)).
+        """
+        if self.beam_angles is None:
+            raise RuntimeError("beam_angles not set — call set_beam_angles() first")
+        return self._step_many(
+            state,
+            jnp.asarray(actions, dtype=jnp.float32),
+            jnp.asarray(scans, dtype=jnp.float32),
             self.beam_angles,
             self.map,
             self.sensor,

@@ -1,4 +1,9 @@
-from monte_carlo_localization_tpu.runtime.checkpoint import load_state, save_state
+from monte_carlo_localization_tpu.runtime.checkpoint import (
+    load_fleet_state,
+    load_state,
+    save_fleet_state,
+    save_state,
+)
 from monte_carlo_localization_tpu.runtime.loop import LiveRunner
 from monte_carlo_localization_tpu.runtime.node import MCLNode
 from monte_carlo_localization_tpu.runtime.sinks import (
@@ -37,4 +42,6 @@ __all__ = [
     "HostRaycaster",
     "save_state",
     "load_state",
+    "save_fleet_state",
+    "load_fleet_state",
 ]
