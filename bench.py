@@ -526,17 +526,25 @@ def run_live(quick=False, method="lut_pallas"):
     return out
 
 
-def run_headline(quick=False, method="lut_pallas"):
-    # the 4000 x 1080 north-star workload (BASELINE.md); map scale matches
-    # round-1 (768^2 synthetic world) — per-step cost is map-independent
-    # on the LUT paths, the map only sets LUT build time
-    gm = _synthetic_map(768)
+def run_headline(quick=False, method="lut_pallas", synthetic=False):
+    # the 4000 x 1080 north-star workload (BASELINE.md) on a REAL
+    # reference asset: Spielberg (2000x2000, row-compacted LUT) — the
+    # config #3 map. Per-step cost is map-independent on the LUT paths
+    # (the map only sets LUT build time), so the synthetic 768^2 world of
+    # rounds 1-2 measured the same kernel; the headline now cites the
+    # reference map (--synthetic restores the old world for comparison).
+    if synthetic:
+        gm = _synthetic_map(768)
+        map_tag = "synthetic768"
+    else:
+        gm = _load_real_map(CONFIG_MAPS[3])
+        map_tag = "Spielberg"
     chained, dispatch = bench_updates(
         4000, 1080, gm, method=method, chain=50, reps=2 if quick else 10,
         quick=quick,
     )
     return dict(
-        metric="mcl_updates_per_sec@4000x1080"
+        metric=f"mcl_updates_per_sec@4000x1080[{map_tag}]"
                + ("[quick]" if quick else ""),
         value=round(chained, 2),
         unit="updates/s",
@@ -559,6 +567,8 @@ def _child_args(args, method, cpu=False, cpu_note=None):
             argv += ["--cpu-note", note]
     if getattr(args, "converge", False):
         argv.append("--converge")
+    if getattr(args, "synthetic", False):
+        argv.append("--synthetic")
     if getattr(args, "live", False):
         argv.append("--live")
     if args.config is not None:
@@ -724,6 +734,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="config #4 'until convergence' semantics: 100k "
                          "uniform seed on basement_fixed, measure "
                          "time/updates to converge + success rate")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="headline on the round-1 768^2 synthetic world "
+                         "instead of the Spielberg reference map")
     ap.add_argument("--live", action="store_true",
                     help="live-loop corrections/s through MCLNode's async "
                          "pipeline: plain (live_chunk=1) vs micro-chunked "
@@ -783,7 +796,8 @@ def main(argv=None) -> int:
     if args.config is not None:
         _emit(run_config(args.config, quick=args.quick, method=args.method))
         return 0
-    _emit(run_headline(quick=args.quick, method=args.method))
+    _emit(run_headline(quick=args.quick, method=args.method,
+          synthetic=args.synthetic))
     return 0
 
 

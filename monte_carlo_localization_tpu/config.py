@@ -105,14 +105,27 @@ class MCLConfig:
     # with > S distinct windows fall back to the one-DMA-per-particle
     # kernel inside the same jitted step, so the path stays correct.
     pallas_dedup_slots: int = 0
+    # with pallas_dedup_slots > 0: gather each particle's window from the
+    # block's <= S slot tiles via a one-hot MXU matmul instead of the
+    # dynamic VMEM leading index (the measured ~10us/particle Mosaic
+    # pathology that killed the first dedup variant, PERF.md). Exact
+    # integer selection — results stay bit-identical. Experimental knob
+    # for the config #4 DMA-issue-floor question (VERDICT round-2 item 4).
+    pallas_dedup_matmul: bool = False
     # sub-bin angular refinement (lut_pallas): keep the fractional part of
     # the particle heading's theta-bin position and linearly interpolate
     # each beam's expected range between its LUT bin and the +1 neighbor
     # (already resident in the DMA'd window — no extra memory traffic).
     # Removes the coherent +-half-bin (0.125 deg at T~1440) heading
-    # quantization that dominated replay RMSE vs the continuous-angle CPU
-    # oracle. False pins the round-to-nearest-bin behavior.
-    pallas_subbin: bool = True
+    # quantization. MEASURED NEGATIVE as a default (2026-08-20, golden
+    # trace, 1x v5e): replay RMSE 0.0486 m with vs 0.0482 m without —
+    # the filter's error floor is the trace/posterior itself (the exact-
+    # DDA CPU oracle scores 0.0401 m on the same 500 corrections) — while
+    # the compact-beam matmul must run at HIGHEST precision under lerp,
+    # costing ~13% throughput (3038 -> 2643 updates/s at 4000x60). Kept
+    # as an opt-in for workloads where heading quantization actually
+    # binds (coarse theta bins / very long ranges); see PERF.md.
+    pallas_subbin: bool = False
     # distributed resampling of ShardedParticleFilter: "bucketed" (default
     # — covered ancestor rows cross shards through fringe ppermutes + a
     # tiny seed psum, O(fringe + D) ICI bytes/step; falls back to the

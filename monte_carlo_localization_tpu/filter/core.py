@@ -233,16 +233,21 @@ def build_pallas_likelihood(
     max_dense = int(os.environ.get("MCL_LUT_DENSE_MAX", 2 << 30))
     if dense_bytes > max_dense:
         if num_maps > 1:
-            raise ValueError(
-                "lut_pallas heterogeneous fleet: stacked per-member LUTs "
-                f"would be {dense_bytes / 2**30:.1f} GiB dense and the "
-                "row-compacted builder supports single maps only — use "
-                "raycast_method='lut', smaller maps, or raise "
-                "MCL_LUT_DENSE_MAX"
+            # giant-map heterogeneous fleet (e.g. 64 cars on
+            # Spielberg-class circuits): row-compacted TIGHT per-member
+            # blocks, native C++ builder, composed addressing
+            # (row_map_bases + lut_bases) in the query
+            from monte_carlo_localization_tpu.ops.pallas_lut import (
+                entries_per_subrow,
             )
-        # row-compacted LUT: device builder for u8 maps, native host
-        # builder for u16 (long-range) maps
-        grid_map = grid_map.with_compact_range_lut(t, stride)
+
+            grid_map = grid_map.with_member_compact_luts(
+                t, stride, entries_per_subrow(dtype.itemsize)
+            )
+        else:
+            # row-compacted LUT: device builder for u8 maps, native host
+            # builder for u16 (long-range) maps
+            grid_map = grid_map.with_compact_range_lut(t, stride)
     elif num_maps == 1:
         grid_map = grid_map.with_range_lut(t, row_stride=stride)
     else:
@@ -291,6 +296,8 @@ def build_pallas_likelihood(
         per_member_maps=num_maps > 1,
         dedup_slots=_resolve_dedup_slots(cfg, num_particles, num_members),
         subbin=cfg.pallas_subbin,
+        dedup_matmul=cfg.pallas_dedup_matmul
+        and _resolve_dedup_slots(cfg, num_particles, num_members) > 0,
     )
     return grid_map, query
 

@@ -89,6 +89,10 @@ class GridMap:
     # its own area.
     member_dims: jnp.ndarray | None = None
     lut_member_base: jnp.ndarray | None = None
+    # Per-member start offsets into the CONCATENATED lut_row_map when the
+    # member LUT blocks are row-compacted (with_member_compact_luts):
+    # member i's cells map through lut_row_map[lut_row_map_base[i] + cell].
+    lut_row_map_base: jnp.ndarray | None = None
 
     def with_range_lut(
         self,
@@ -170,6 +174,7 @@ class GridMap:
                 range_lut=lut,
                 lut_row_map=None,  # dense LUT: drop any stale compact map
                 lut_member_base=None,  # stacked layout: drop stale tight bases
+            lut_row_map_base=None,
                 lut_theta_bins=t,
                 lut_row_stride=stride if stride != t else 0,
             )
@@ -199,6 +204,7 @@ class GridMap:
             range_lut=jnp.asarray(lut),
             lut_row_map=None,  # dense LUT: drop any stale compact map
             lut_member_base=None,  # stacked layout: drop stale tight bases
+            lut_row_map_base=None,
             lut_theta_bins=t,
             lut_row_stride=stride if stride != t else 0,
         )
@@ -277,9 +283,110 @@ class GridMap:
             self,
             range_lut=jnp.asarray(np.concatenate(blocks)),
             lut_row_map=None,
+            lut_row_map_base=None,
             lut_theta_bins=t_bins,
             lut_row_stride=row_stride if row_stride != t_bins else 0,
             lut_member_base=jnp.asarray(bases, jnp.int32),
+        )
+
+    def with_member_compact_luts(
+        self,
+        t_bins: int,
+        row_stride: int,
+        subrow_entries: int,
+    ) -> "GridMap":
+        """Batched maps: attach ROW-COMPACTED tight per-member range LUTs.
+
+        The heterogeneous-fleet analogue of :meth:`with_compact_range_lut`
+        (giant circuits whose dense per-member LUT blocks would exceed
+        memory): each member's LUT stores only rows for cells within
+        max_range of an obstacle (plus the shared constant far row), built
+        at the member's TRUE pre-padding shape by the native C++/OpenMP
+        builder, and the blocks are concatenated. Addressing composes two
+        indirections the Pallas query applies in order: member cell ->
+        ``lut_row_map[lut_row_map_base[m] + cell]`` -> compact row ->
+        ``row * stride + lut_member_base[m]`` (subrow units).
+        """
+        import dataclasses
+
+        from monte_carlo_localization_tpu.mapping.range_lut import lut_dtype
+        from monte_carlo_localization_tpu.mapping.range_lut_device import (
+            FAR_ROW_MARGIN,
+            compact_row_map,
+        )
+        from monte_carlo_localization_tpu.native import (
+            native_build_compact_range_lut,
+        )
+
+        occupied = np.asarray(self.occupied)
+        if occupied.ndim != 3:
+            raise ValueError(
+                "with_member_compact_luts needs a batched (M,H,W) map"
+            )
+        if row_stride < t_bins or row_stride % subrow_entries != 0:
+            raise ValueError(
+                f"row_stride {row_stride} must be >= t_bins {t_bins} and a "
+                f"multiple of subrow_entries {subrow_entries}"
+            )
+        if (
+            self.range_lut is not None
+            and self.lut_row_map_base is not None
+            and self.lut_theta_bins == t_bins
+            and (self.lut_row_stride or t_bins) == row_stride
+        ):
+            return self
+        m = occupied.shape[0]
+        if self.member_dims is not None:
+            dims = np.asarray(self.member_dims, np.int64)
+        else:
+            dims = np.tile(
+                np.asarray(occupied.shape[1:], np.int64), (m, 1)
+            )
+        dtype = lut_dtype(self.max_range_px)
+        spe = row_stride // subrow_entries  # subrows per LUT row
+        blocks: list[np.ndarray] = []
+        rmaps: list[np.ndarray] = []
+        bases = np.zeros((m,), np.int64)
+        rmap_bases = np.zeros((m,), np.int64)
+        at = rat = 0
+        for i in range(m):
+            h, w = int(dims[i, 0]), int(dims[i, 1])
+            occ_i = occupied[i, :h, :w]
+            clearance = clearance_field(
+                occ_i, self.max_range_px + FAR_ROW_MARGIN + 2
+            )
+            row_map_i, _ = compact_row_map(clearance, self.max_range_px)
+            lut_i = native_build_compact_range_lut(
+                occ_i, t_bins, self.max_range_px, row_map_i, row_stride,
+                dtype=dtype,
+            )
+            if lut_i is None:
+                raise RuntimeError(
+                    "compact per-member LUTs need the native builder (g++) "
+                    "— unavailable; use raycast_method='lut' or raise "
+                    "MCL_LUT_DENSE_MAX"
+                )
+            bases[i] = at
+            rmap_bases[i] = rat
+            blocks.append(np.ascontiguousarray(lut_i).reshape(-1))
+            rmaps.append(row_map_i)
+            at += lut_i.shape[0] * spe
+            rat += h * w
+        if at > np.iinfo(np.int32).max or rat > np.iinfo(np.int32).max:
+            raise ValueError(
+                "compact fleet LUT index overflows int32 — fewer/smaller "
+                "maps or raycast_method='lut'"
+            )
+        return dataclasses.replace(
+            self,
+            range_lut=jnp.asarray(np.concatenate(blocks)),
+            lut_row_map=jnp.asarray(
+                np.concatenate(rmaps).astype(np.int32)
+            ),
+            lut_theta_bins=t_bins,
+            lut_row_stride=row_stride if row_stride != t_bins else 0,
+            lut_member_base=jnp.asarray(bases, jnp.int32),
+            lut_row_map_base=jnp.asarray(rmap_bases, jnp.int32),
         )
 
     def with_compact_range_lut(

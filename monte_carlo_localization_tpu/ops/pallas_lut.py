@@ -212,6 +212,7 @@ def build_lut_query_fn(
     dedup_slots: int = 0,
     compact_beams: bool | None = None,
     subbin: bool = False,
+    dedup_matmul: bool = False,
 ):
     """Returns (query, info): query(lut_flat, particles, obs_px) -> (N,)
     log weights.
@@ -249,6 +250,15 @@ def build_lut_query_fn(
     via ``lax.cond`` — bit-identical results either way, so the dedup
     path is safe to enable for any workload (global-seed clouds simply
     take the standard branch until they converge).
+
+    With ``dedup_matmul`` (requires ``dedup_slots`` > 0) each particle
+    reads its slot's window through a one-hot MXU matmul over the block's
+    <= S slot tiles — ``(block, 128) @ (128, window)`` with the one-hot
+    built on the XLA side — instead of the dynamic VMEM leading index,
+    which Mosaic lowers pathologically (~10 us/particle measured on v5e;
+    PERF.md). One-hot selection of integer LUT values is exact on the MXU
+    (single bf16 pass for u8, HIGHEST for u16), so results stay
+    bit-identical to the standard kernel.
 
     With ``subbin`` the particle heading's position on the theta axis is
     NOT rounded to the nearest bin: the window start uses
@@ -493,6 +503,71 @@ def build_lut_query_fn(
             "window would mix fleet members' scans)"
         )
     n_slots = min(n_slots, block)
+    if dedup_matmul and n_slots <= 0:
+        raise ValueError("dedup_matmul requires dedup_slots > 0")
+    if dedup_matmul and n_slots > LANE:
+        raise ValueError(f"dedup_matmul supports at most {LANE} slots")
+
+    def kernel_dedup_mm(*args):
+        """One-hot MXU slot-select variant of the dedup kernel: the
+        block's <= S distinct windows are DMA'd into slot tiles and each
+        particle's window is gathered by s_sub (block, 128) @ (128, 128)
+        one-hot matmuls (slot axis padded to the 128-lane MXU width) —
+        no dynamic VMEM leading index (the measured ~10 us/particle
+        Mosaic pathology, PERF.md) and no per-slot scalar branches.
+        Integer one-hot selection is exact (single bf16 pass for u8,
+        HIGHEST for u16), so results are bit-identical to the standard
+        kernel. Single-buffered: each block issues its own S window DMAs
+        and waits — the experiment trades the double-buffer overlap for
+        static slot addressing."""
+        if subbin:
+            (sy0_ref, rem_ref, frac_ref, onehot_ref, obs_ref, masks_ref,
+             lut_ref, out_ref, scratch, sems) = args
+        else:
+            (sy0_ref, rem_ref, onehot_ref, obs_ref, masks_ref,
+             lut_ref, out_ref, scratch, sems) = args
+            frac_ref = None
+        i = pl.program_id(0)
+
+        for s in range(n_slots):
+            pltpu.make_async_copy(
+                lut_ref.at[pl.ds(sy0_ref[i * n_slots + s], y_rows)],
+                scratch.at[s],
+                sems.at[s],
+            ).start()
+        for s in range(n_slots):
+            pltpu.make_async_copy(
+                lut_ref.at[pl.ds(sy0_ref[i * n_slots + s], y_rows)],
+                scratch.at[s],
+                sems.at[s],
+            ).wait()
+
+        onehot = onehot_ref[0]  # (block, LANE) f32, lane = slot rank
+        mm_precision = (
+            jax.lax.Precision.HIGHEST if itemsize == 2 else
+            jax.lax.Precision.DEFAULT
+        )
+        cols = []
+        for ss in range(s_sub):
+            tile = scratch[:, ss // sub_lanes, ss % sub_lanes, :]
+            tile = tile.astype(jnp.int32).astype(jnp.float32)  # (LANE, LANE)
+            cols.append(jax.lax.dot_general(
+                onehot, tile,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mm_precision,
+            ))  # (block, LANE)
+        acc = jnp.stack(cols, axis=1)  # (block, s_sub, LANE)
+
+        rows = []
+        for s in range(block):
+            w = rotate_flat(acc[s], rem_ref[i * block + s])
+            if subbin:
+                w = lerp_bins(w, frac_ref[i * block + s])
+            rows.append(w)
+        logp = block_logp(rows, obs_ref[0], masks_ref)
+        for s in range(block):
+            out_ref[s, 0] = inv_squash * jnp.sum(logp[s])
 
     def kernel_dedup(*args):
         """Unique-window variant: ``n_slots`` DMAs per block instead of
@@ -604,7 +679,47 @@ def build_lut_query_fn(
     )
 
     call_dedup = None
-    if n_slots > 0:
+    if n_slots > 0 and dedup_matmul:
+        grid_spec_dedup_mm = pltpu.PrefetchScalarGridSpec(
+            # slot_y0 (nb*S,), rem (N,) [+ frac (N,) if subbin]; the slot
+            # rank rides as a VMEM one-hot operand, not scalar prefetch
+            num_scalar_prefetch=3 if subbin else 2,
+            grid=(n // block,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, block, LANE),
+                    lambda i, *_: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, s_sub, LANE),
+                    lambda i, *_: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (s_sub, LANE), lambda i, *_: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (block, 1), lambda i, *_: (i, 0), memory_space=pltpu.SMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (LANE, y_rows, sub_lanes, LANE),
+                    jnp.uint8 if itemsize == 1 else jnp.uint16,
+                ),
+                pltpu.SemaphoreType.DMA((n_slots,)),
+            ],
+        )
+        call_dedup = pl.pallas_call(
+            kernel_dedup_mm,
+            grid_spec=grid_spec_dedup_mm,
+            out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            interpret=interpret,
+        )
+    elif n_slots > 0:
         grid_spec_dedup = pltpu.PrefetchScalarGridSpec(
             # slot_y0 (nb*S,), widx (N,), rem (N,) [+ frac (N,) if subbin]
             num_scalar_prefetch=4 if subbin else 3,
@@ -652,7 +767,8 @@ def build_lut_query_fn(
     member_subrows = height * width * (row_stride // eps)
 
     def query(lut_flat, particles, obs_px, row_map=None, member_base=0,
-              origins=None, map_of=None, dims=None, lut_bases=None):
+              origins=None, map_of=None, dims=None, lut_bases=None,
+              row_map_bases=None):
         """``map_of`` (optional, per_member_maps): (F_total,) int32 member
         -> LUT-block/origin index, letting many members SHARE one map's
         LUT block (e.g. 64 cars over 4 circuits stores 4 LUTs, not 64).
@@ -662,7 +778,14 @@ def build_lut_query_fn(
         ``lut_bases`` (M,) int32 per-map LUT block starts in subrow units
         (GridMap.member_dims / lut_member_base) select the TIGHT
         concatenated layout; without them members are assumed padded to
-        the static common shape at ``member_subrows`` apart."""
+        the static common shape at ``member_subrows`` apart.
+
+        ``row_map_bases`` (M,) int32 (GridMap.lut_row_map_base) composes
+        the compact-LUT indirection with per-member blocks: member m's
+        cell maps through ``row_map[row_map_bases[m] + cell]`` to its
+        block-local compact row before the ``lut_bases`` subrow offset
+        applies (with_member_compact_luts — giant-map heterogeneous
+        fleets)."""
         if per_member_maps:
             if origins is None:
                 raise ValueError(
@@ -687,11 +810,16 @@ def build_lut_query_fn(
         cell = jnp.clip(gy, 0, h_m - 1) * w_m + jnp.clip(gx, 0, w_m - 1)
         if row_map is not None:  # compacted LUT: cell -> LUT row indirection
             if per_member_maps:
-                raise ValueError(
-                    "row_map (compact LUT) and per_member_maps cannot "
-                    "combine: member offsets assume dense per-member blocks"
-                )
-            cell = row_map[cell]
+                if row_map_bases is None or lut_bases is None:
+                    raise ValueError(
+                        "compact per-member LUTs need row_map_bases and "
+                        "lut_bases (GridMap.with_member_compact_luts)"
+                    )
+                cell = row_map[
+                    jnp.asarray(row_map_bases, jnp.int32)[mi] + cell
+                ]
+            else:
+                cell = row_map[cell]
         bpos = particles[:, 2] * (t / (2.0 * math.pi))
         if subbin:
             # window starts at the FLOOR bin; the fractional part rides to
@@ -783,33 +911,45 @@ def build_lut_query_fn(
             .max(y0b)
         )
 
-        if subbin:
-            logw_sorted = jax.lax.cond(
-                overflow,
-                lambda a: call(
-                    a[0], a[1], a[4], obs_lanes, masks_dev, lut3
-                )[:, 0],
-                lambda a: call_dedup(
-                    a[2].reshape(-1), a[3].reshape(-1), a[1], a[4],
-                    obs_lanes, masks_dev, lut3,
-                )[:, 0],
-                (y0s, rems, slot_y0, widx, fracs),
-            )
+        if dedup_matmul:
+            # slot rank as a one-hot VMEM operand for the MXU gather
+            onehot = jax.nn.one_hot(
+                widx, LANE, dtype=jnp.float32
+            )  # (nb, block, LANE)
+
+            def dedup_branch(a):
+                pre_d = (
+                    (a[2].reshape(-1), a[1], a[4]) if subbin
+                    else (a[2].reshape(-1), a[1])
+                )
+                return call_dedup(
+                    *pre_d, onehot, obs_lanes, masks_dev, lut3
+                )[:, 0]
         else:
-            logw_sorted = jax.lax.cond(
-                overflow,
-                lambda a: call(a[0], a[1], obs_lanes, masks_dev, lut3)[:, 0],
-                lambda a: call_dedup(
-                    a[2].reshape(-1), a[3].reshape(-1), a[1],
-                    obs_lanes, masks_dev, lut3,
-                )[:, 0],
-                (y0s, rems, slot_y0, widx),
-            )
+            def dedup_branch(a):
+                pre_d = (
+                    (a[2].reshape(-1), a[3].reshape(-1), a[1], a[4])
+                    if subbin
+                    else (a[2].reshape(-1), a[3].reshape(-1), a[1])
+                )
+                return call_dedup(
+                    *pre_d, obs_lanes, masks_dev, lut3
+                )[:, 0]
+
+        def std_branch(a):
+            pre_s = (a[0], a[1], a[4]) if subbin else (a[0], a[1])
+            return call(*pre_s, obs_lanes, masks_dev, lut3)[:, 0]
+
+        ops = (
+            (y0s, rems, slot_y0, widx, fracs) if subbin
+            else (y0s, rems, slot_y0, widx)
+        )
+        logw_sorted = jax.lax.cond(overflow, std_branch, dedup_branch, ops)
         logw = jnp.zeros((n,), jnp.float32).at[perm].set(logw_sorted)
         return jnp.where(oob, -1e4, logw)
 
     return query, dict(
         n_e=n_e, window_bytes=wents * itemsize, window_entries=wents,
         row_stride=row_stride, t_bins=t_bins, lut_dtype=str(lut_dtype),
-        dedup_slots=n_slots, subbin=subbin,
+        dedup_slots=n_slots, subbin=subbin, dedup_matmul=bool(dedup_matmul),
     )

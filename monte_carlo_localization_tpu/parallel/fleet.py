@@ -396,6 +396,9 @@ class FleetFilter:
                         # tight per-member LUT layout (None -> padded)
                         dims=gmap.member_dims,
                         lut_bases=gmap.lut_member_base,
+                        # compact per-member blocks (giant maps) compose a
+                        # row-map indirection before the subrow base
+                        row_map_bases=gmap.lut_row_map_base,
                     )
                 return query(
                     gmap.range_lut,
@@ -500,7 +503,8 @@ class FleetFilter:
         # and the tight concatenated layout (flat range_lut + lut_member_base)
         # has no member axis 0 for the vmap below to map over.
         gmap = replace(
-            self.map, range_lut=None, lut_row_map=None, lut_member_base=None
+            self.map, range_lut=None, lut_row_map=None, lut_member_base=None,
+            lut_row_map_base=None,
         )
         if self.map_assignment is not None:
             # expand the M-map batch to one entry per member for the init vmap

@@ -222,11 +222,17 @@ def _dryrun_child() -> int:
     beams = np.linspace(-np.pi / 2, np.pi / 2, 12, dtype=np.float32)
     members_per_host = 2
     fleet_size = members_per_host * nproc
+    # the PRODUCTION Pallas LUT kernel runs per host shard (interpret mode
+    # on the CPU backend — same code path the real chip compiles), so the
+    # true multi-process jax.distributed runtime exercises the flagship
+    # likelihood, not just the XLA gather fallback. Shapes stay tiny: the
+    # interpreted kernel is ~ms per 32-particle member step.
     mh = MultiHostFleet(
         gm,
         fleet_size=fleet_size,
         config=MCLConfig(
-            max_particles=64, raycast_method="lut", lut_theta_bins=180
+            max_particles=32, raycast_method="lut_pallas",
+            lut_theta_bins=180,
         ),
         beam_angles=beams,
     )

@@ -676,15 +676,27 @@ class MCLNode:
             trace.scan_ranges[:, ::stride], dtype=np.float32
         )
         st = np.asarray(trace.scan_t, np.float64)
-        idx = np.searchsorted(np.asarray(trace.odom_t), st, side="right") - 1
+        # Integrate ALL odometry twists between consecutive scans (exactly
+        # the CPU reference harness's accumulation, baseline/
+        # cpu_reference.py replay loop) rather than sampling the latest
+        # twist once per scan. At the reference's 200 Hz tick the
+        # single-sample v*dt action is fine (dt = 5 ms); at the 25 Hz
+        # scan-driven replay cadence it aliases the twist stream and the
+        # action error alone cost ~2x pose RMSE on the golden trace.
+        ot = np.asarray(trace.odom_t, np.float64)
+        tw = np.asarray(trace.odom_twist, np.float64)
+        dt_o = np.diff(ot, prepend=ot[:1])
+        cum_s = np.cumsum(tw[:, 0] * dt_o)
+        cum_th = np.cumsum(tw[:, 1] * dt_o)
+        idx = np.searchsorted(ot, st, side="right") - 1
         has = idx >= 0
-        tw = trace.odom_twist[np.clip(idx, 0, None)]
-        dt = np.diff(st, prepend=st[0])
+        s_at = np.where(has, cum_s[np.clip(idx, 0, None)], 0.0)
+        th_at = np.where(has, cum_th[np.clip(idx, 0, None)], 0.0)
         actions = np.stack(
             [
-                np.where(has, tw[:, 0], 0.0) * dt,
-                np.zeros_like(dt),
-                np.where(has, tw[:, 1], 0.0) * dt,
+                np.diff(s_at, prepend=0.0),
+                np.zeros_like(st),
+                np.diff(th_at, prepend=0.0),
             ],
             axis=1,
         ).astype(np.float32)

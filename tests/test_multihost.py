@@ -20,10 +20,18 @@ from monte_carlo_localization_tpu.parallel.multihost import (
 
 
 def test_multihost_dryrun_two_processes():
-    """Two simulated hosts: cluster join, zero-collective sharded step,
+    """Two simulated hosts: cluster join, zero-collective sharded step
+    running the PRODUCTION Pallas LUT kernel per shard (interpret mode),
     process-local scatter, DCN pose gather — all under the true
     multi-process runtime."""
-    run_dryrun(2, timeout_s=240.0)
+    run_dryrun(2, timeout_s=480.0)
+
+
+def test_multihost_dryrun_three_processes():
+    """Odd-sized cluster: 3 processes x 1 device each, same production
+    kernel per shard — pins that nothing in the mesh/scatter/gather logic
+    assumes a power-of-two host count."""
+    run_dryrun(3, timeout_s=540.0)
 
 
 def test_multihost_api_single_process_fallback():

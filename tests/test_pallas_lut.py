@@ -108,7 +108,8 @@ def _oracle_logw(
 
 def _build(beams, num_particles, *, height, width, resolution=0.05,
            origin_x=0.0, origin_y=0.0, max_range_px=120, t_bins=None,
-           block=16, dedup_slots=0, compact_beams=None, subbin=False):
+           block=16, dedup_slots=0, compact_beams=None, subbin=False,
+           dedup_matmul=False):
     t = t_bins or suggest_theta_bins(beams)
     dtype = lut_dtype(max_range_px)
     stride = required_row_stride(t, beams, itemsize=dtype.itemsize)
@@ -121,7 +122,7 @@ def _build(beams, num_particles, *, height, width, resolution=0.05,
         sigma_hit=SIGMA, inv_squash=INV_SQUASH,
         block=block, interpret=True, lut_dtype=dtype,
         dedup_slots=dedup_slots, compact_beams=compact_beams,
-        subbin=subbin,
+        subbin=subbin, dedup_matmul=dedup_matmul,
     )
     return query, info, t, stride
 
@@ -541,6 +542,75 @@ class TestDedupKernel:
             ests.append(np.asarray(est))
         np.testing.assert_allclose(ests[0], ests[1], atol=1e-5)
         assert np.linalg.norm(ests[1][:2] - pose[:2]) < 0.3
+
+
+class TestDedupMatmulKernel:
+    """The one-hot MXU slot-select dedup variant (``dedup_matmul``) must
+    be BIT-identical to the standard kernel — exact integer selection on
+    the MXU replaces the dynamic VMEM slot index (VERDICT round-2 item
+    4); overflow still falls back to the standard kernel."""
+
+    def _both(self, rng, particles, beams=BEAMS_60, height=24, width=32,
+              block=16, dedup_slots=8, max_range_px=120, subbin=False):
+        n = len(particles)
+        q_std, _, t, stride = _build(beams, n, height=height, width=width,
+                                     block=block, max_range_px=max_range_px,
+                                     compact_beams=False, subbin=subbin)
+        q_mm, info, _, _ = _build(beams, n, height=height, width=width,
+                                  block=block, dedup_slots=dedup_slots,
+                                  max_range_px=max_range_px, subbin=subbin,
+                                  dedup_matmul=True)
+        assert info["dedup_matmul"] is True
+        lut2d = _make_lut(rng, height * width, stride, t, max_range_px)
+        obs = rng.uniform(0, max_range_px, len(beams)).astype(np.float32)
+        lut_flat = jnp.asarray(lut2d.reshape(-1))
+        std = np.asarray(q_std(lut_flat, jnp.asarray(particles),
+                               jnp.asarray(obs)))
+        mm = np.asarray(q_mm(lut_flat, jnp.asarray(particles),
+                             jnp.asarray(obs)))
+        return std, mm
+
+    def test_converged_cloud_bit_identical(self):
+        rng = np.random.default_rng(40)
+        distinct = np.array(
+            [[0.71, 0.63, 1.1], [0.32, 0.21, -0.4], [1.12, 0.94, 2.0]],
+            np.float32,
+        )
+        particles = distinct[rng.integers(0, 3, 64)]
+        std, mm = self._both(rng, particles)
+        np.testing.assert_array_equal(std, mm)
+
+    def test_overflow_falls_back(self):
+        rng = np.random.default_rng(41)
+        n, width = 64, 32
+        x = (np.arange(n) % width) * 0.05 + 0.026
+        y = (np.arange(n) // width) * 0.05 + 0.026
+        theta = rng.uniform(-math.pi, math.pi, n)
+        particles = np.stack([x, y, theta], 1).astype(np.float32)
+        std, mm = self._both(rng, particles)
+        np.testing.assert_array_equal(std, mm)
+
+    def test_u16_bit_identical(self):
+        rng = np.random.default_rng(42)
+        distinct = np.array(
+            [[0.71, 0.63, 1.1], [0.32, 0.21, -0.4]], np.float32
+        )
+        particles = distinct[rng.integers(0, 2, 32)]
+        std, mm = self._both(rng, particles, max_range_px=600)
+        np.testing.assert_array_equal(std, mm)
+
+    def test_subbin_bit_identical(self):
+        rng = np.random.default_rng(43)
+        distinct = np.array(
+            [[0.71, 0.63, 1.1], [0.32, 0.21, -0.4]], np.float32
+        )
+        particles = distinct[rng.integers(0, 2, 32)]
+        std, mm = self._both(rng, particles, subbin=True)
+        np.testing.assert_array_equal(std, mm)
+
+    def test_requires_dedup_slots(self):
+        with pytest.raises(ValueError, match="dedup_matmul"):
+            _build(BEAMS_60, 16, height=8, width=8, dedup_matmul=True)
 
 
 class TestKernelParityU16:
