@@ -77,3 +77,66 @@ def test_engine_matches_cpu_reference_on_trace(golden):
         ((poses_c[:k, :2] - res.poses[-k:, :2]) ** 2).sum(axis=1).mean()
     )
     assert cross < 0.2, f"cross-implementation trajectory RMSE {cross}"
+
+
+class TestCompactLutReplay:
+    """End-to-end replay quality THROUGH the row-compacted LUT path
+    (VERDICT round-2 items 5/7-weak): the golden-trace acceptance above
+    never exercises ``with_compact_range_lut`` (its map is tiny). Here a
+    map with genuine far cells is forced onto the compact path
+    (MCL_LUT_DENSE_MAX=1) and a synthesized trace must replay with the
+    same quality as the dense path. The committed
+    ``traces/config4_basement_fixed.npz`` trace runs the same acceptance
+    at full scale on real hardware (recorded in BENCHES.md)."""
+
+    def test_compact_lut_pallas_replay_tracks_truth(self, monkeypatch):
+        from monte_carlo_localization_tpu.mapping import (
+            random_obstacle_world,
+        )
+        from monte_carlo_localization_tpu.runtime.trace import (
+            synthesize_trace,
+        )
+
+        gm = random_obstacle_world(
+            height=400, width=400, num_obstacles=10, seed=5,
+            max_range_meters=4.0,
+        )
+        trace = synthesize_trace(
+            gm, duration_s=6.0, num_beams=60, seed=3, speed=1.0
+        )
+        short = Trace(
+            odom_t=trace.odom_t,
+            odom_pose=trace.odom_pose,
+            odom_twist=trace.odom_twist,
+            scan_t=trace.scan_t[:40],
+            scan_ranges=trace.scan_ranges[:40],
+            beam_angles=trace.beam_angles,
+            truth_t=trace.truth_t,
+            truth_pose=trace.truth_pose,
+        )
+
+        def run(method):
+            cfg = MCLConfig(
+                max_particles=512, angle_step=1, raycast_method=method
+            )
+            node = MCLNode(gm, cfg, rng_seed=0)
+            node.initialize_pose(trace.truth_pose[0])
+            return node, node.replay(short)
+
+        # reference quality on this scenario: the (LUT-free) EDT backend
+        _, res_sphere = run("sphere")
+
+        monkeypatch.setenv("MCL_LUT_DENSE_MAX", "1")
+        node, res = run("lut_pallas")
+        gmap = node.filter.grid_map
+        assert gmap.lut_row_map is not None, "compact path not engaged"
+        # real compaction: strictly fewer rows than cells
+        n_rows = int(np.asarray(gmap.lut_row_map).max()) + 1
+        assert n_rows < gm.height * gm.width
+        # compact-LUT quality matches the backend-independent floor of
+        # this scenario (odometry drift dominates a 40-correction window)
+        assert res.rmse_xy is not None and res.rmse_xy < 0.25, res.rmse_xy
+        assert res.rmse_xy < 1.5 * res_sphere.rmse_xy + 0.02, (
+            res.rmse_xy, res_sphere.rmse_xy,
+        )
+        assert res.rmse_theta < 0.10, res.rmse_theta
