@@ -179,10 +179,27 @@ def synthesize_trace(
     map. Ground truth is recorded at odom rate; the odometry stream
     integrates NOISY twists in its own frame, so it drifts like a real one.
     """
+    import dataclasses
+
     rng = np.random.default_rng(seed)
     beams = (np.linspace(-fov_rad / 2, fov_rad / 2, num_beams)).astype(np.float32)
     probe = np.array([-0.5, -0.25, 0.0, 0.25, 0.5], dtype=np.float32)
     caster = HostRaycaster(grid_map)
+    # The DRIVING controller must not wander into UNKNOWN space: rays pass
+    # through unknown cells (reference semantics, occupancy > 50 is the
+    # only obstacle test), so to the wall-avoider an unknown region looks
+    # wide open — and a trace whose truth leaves the mapped free space is
+    # unlocalizable by construction (recorded SLAM maps like
+    # basement_fixed are mostly unknown). Steering probes and the
+    # traversability guard below use a map where unknown counts as an
+    # obstacle; the recorded SCANS still come from the real map.
+    occ_drive = np.asarray(grid_map.occupancy).copy()
+    occ_drive[occ_drive < 0] = 100
+    drive_caster = HostRaycaster(
+        dataclasses.replace(grid_map, occupancy=occ_drive)
+    )
+    permissible = np.asarray(grid_map.permissible)
+    h_cells, w_cells = permissible.shape[-2:]
 
     if start_pose is None:
         free = np.asarray(grid_map.free_cells)
@@ -224,12 +241,26 @@ def synthesize_trace(
             ],
             axis=1,
         ).astype(np.float32)
-        pr = caster(q)
+        pr = drive_caster(q)
         ahead = pr[2]
         best = float(probe[int(np.argmax(pr))])
         v = speed * min(1.0, max(0.2, ahead / 3.0))
         target_omega = 1.8 * best if ahead < 3.0 else 0.6 * best
         omega += 0.25 * (target_omega - omega)
+
+        # traversability guard: never step onto a non-free cell (walls OR
+        # unknown) — turn in place toward clearance instead
+        nx = pose[0] + v * dt * np.cos(pose[2])
+        ny = pose[1] + v * dt * np.sin(pose[2])
+        col = int((nx - float(grid_map.origin_x)) / grid_map.resolution)
+        row = int((ny - float(grid_map.origin_y)) / grid_map.resolution)
+        if not (
+            0 <= row < h_cells
+            and 0 <= col < w_cells
+            and permissible[row, col]
+        ):
+            v = 0.0
+            omega += 0.5 * (1.8 * (best if best != 0.0 else 0.5) - omega)
 
         # true kinematics
         pose[0] += v * dt * np.cos(pose[2])
