@@ -190,6 +190,13 @@ def cmd_live(args) -> int:
     elif trace.truth_pose is not None:
         node.initialize_pose(trace.truth_pose[0])
 
+    webviz = None
+    if getattr(args, "serve", None) is not None:
+        from monte_carlo_localization_tpu.runtime import WebViz
+
+        webviz = WebViz(node, gm, port=args.serve).start()
+        print(f"# live viewer at {webviz.url}", flush=True)
+
     duration = args.duration or min(trace.duration, 10.0)
     t0 = time.monotonic()
     with LiveRunner(node) as runner:
@@ -207,6 +214,8 @@ def cmd_live(args) -> int:
                     trace.scan_ranges[ev.index], beam_angles=trace.beam_angles
                 )
         wall = time.monotonic() - t0
+    if webviz is not None:
+        webviz.close()
     if getattr(args, "checkpoint_out", None):
         from monte_carlo_localization_tpu.runtime import save_state
 
@@ -387,6 +396,11 @@ def build_parser() -> argparse.ArgumentParser:
                     "dispatch them as one step_many(K) — amortizes the "
                     "per-dispatch overhead over K corrections at <= K-1 "
                     "ticks of extra pose latency (1 = off)")
+    lv.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="serve the interactive live viewer (map + cloud "
+                    "+ pose; drag to set a pose estimate, button for "
+                    "global re-init — the RViz analogue) on this port "
+                    "(0 = ephemeral)")
     lv.add_argument("--checkpoint-out", default=None, dest="checkpoint_out",
                     help="write the final filter/tracker state (npz) when "
                     "the live window ends")

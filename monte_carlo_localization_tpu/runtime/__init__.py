@@ -15,6 +15,7 @@ from monte_carlo_localization_tpu.runtime.sinks import (
 from monte_carlo_localization_tpu.runtime.tracker import OdometryTracker
 from monte_carlo_localization_tpu.runtime.ros2_bridge import ROS2Bridge
 from monte_carlo_localization_tpu.runtime.viz import VizSink, map_image, render_frame
+from monte_carlo_localization_tpu.runtime.webviz import WebViz
 from monte_carlo_localization_tpu.runtime.trace import (
     HostRaycaster,
     Trace,
@@ -32,6 +33,7 @@ __all__ = [
     "JsonlSink",
     "NpzSink",
     "VizSink",
+    "WebViz",
     "ROS2Bridge",
     "map_image",
     "render_frame",

@@ -308,11 +308,14 @@ def main(args=None):  # pragma: no cover - needs a ROS2 environment
     ap = argparse.ArgumentParser()
     ap.add_argument("--map", required=True)
     ap.add_argument("--config", default=None)
-    ap.add_argument("--sim-mode", action="store_true")
+    # flag alone = true; an explicit value ("true"/"false") lets launch
+    # files pass a LaunchConfiguration through (launch/tpu_mcl_launch.py)
+    ap.add_argument("--sim-mode", nargs="?", const="true", default="false")
     ns = ap.parse_args(args)
+    sim = str(ns.sim_mode).lower() in ("1", "true", "yes")
 
     cfg = load_config(ns.config) if ns.config else MCLConfig()
     gm = load_map(ns.map)
     rclpy.init()
-    bridge = ROS2Bridge(gm, cfg, sim_mode=ns.sim_mode)
+    bridge = ROS2Bridge(gm, cfg, sim_mode=sim)
     rclpy.spin(bridge.ros_node)
