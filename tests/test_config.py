@@ -102,3 +102,20 @@ def test_reference_config_file_parses():
     assert cfg.lidar_offset_x == 0.288
     assert cfg.num_threads == 3
     assert cfg.map_name == "sibal1"
+
+
+def test_shipped_config_file_loads():
+    """The repo ships config/mcl_config.yaml in the reference's nested
+    schema (launch/ and the ROS2 bridge point at it) — it must load and
+    carry the documented defaults."""
+    from pathlib import Path
+
+    from monte_carlo_localization_tpu.config import load_config
+
+    path = Path(__file__).resolve().parents[1] / "config" / "mcl_config.yaml"
+    cfg = load_config(path)
+    assert cfg.max_particles == 4000
+    assert cfg.angle_step == 18
+    assert cfg.squash_factor == 2.2
+    assert cfg.lidar_offset_x == 0.288
+    assert cfg.raycast_method == "auto"
