@@ -229,10 +229,20 @@ class WebViz:
 
             node = self.node
             particles = weights = None
-            if node.state is not None:
-                particles = np.asarray(node.state.particles)
-                weights = np.asarray(node.state.weights())
-                if len(particles) > 2000:  # keep the render cheap
+            state = node.state  # snapshot the reference once
+            if state is not None:
+                try:
+                    particles = np.asarray(state.particles)
+                    weights = np.asarray(state.weights())
+                except Exception:
+                    # the live loop DONATES the state buffer into the next
+                    # dispatch; between dispatch and reassignment the old
+                    # array can already be deleted — serve the previous
+                    # frame instead of 500ing the viewer
+                    if self._frame_png:
+                        return self._frame_png
+                    particles = weights = None
+                if particles is not None and len(particles) > 2000:
                     idx = np.linspace(
                         0, len(particles) - 1, 2000
                     ).astype(int)
