@@ -158,6 +158,12 @@ def window_entries(
     The span carries ONE guard bin past the last beam lane: the sub-bin
     angular lerp (``subbin``) reads each beam's +1 neighbor bin, so the
     window must stay valid at lane ``q_max + 1`` for any subrow residual.
+    The guard is added UNCONDITIONALLY — a deliberate, accepted cost: the
+    LUT's physical layout (row_stride, built once per map) must not depend
+    on the query-time ``subbin`` toggle, or a LUT built without it could
+    not serve a subbin query on the same map. The cost is nonzero only
+    when span+1 crosses a vreg rounding boundary (one extra (8,128) vreg
+    per window), and zero whenever the rounded window already covers it.
     """
     base, k, e = beam_geometry(beam_angles, t_bins)
     span = k * (len(beam_angles) - 1) + int(e.max()) + 1 + 1  # +1 lerp guard

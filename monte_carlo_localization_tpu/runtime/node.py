@@ -124,6 +124,16 @@ class MCLNode:
         self._reinit_holdoff = 0
         self.auto_reinits = 0
 
+        # Cross-thread re-initialization requests (webviz POST handlers run
+        # on HTTP threads while the live loop steps `self.state` — a direct
+        # initialize_pose there can be silently overwritten by the live
+        # thread committing the stepped OLD belief). Requests queue here and
+        # apply at the top of the next update() tick, on the live thread.
+        import threading
+
+        self._reinit_lock = threading.Lock()
+        self._pending_reinit: tuple[str, np.ndarray | None] | None = None
+
         # global init at startup, like the reference constructor (:151-152)
         self.state = self.filter.init_global(
             self.config.seed if rng_seed is None else rng_seed
@@ -190,9 +200,36 @@ class MCLNode:
         self.inferred_pose = None
         self.log("Global initialization")
 
+    # ----- cross-thread re-init requests (webviz / any non-loop thread) --
+    def request_initialize_pose(self, pose: np.ndarray) -> None:
+        """Thread-safe deferred :meth:`initialize_pose`: queued here, applied
+        at the top of the next :meth:`update` tick on the loop thread, so a
+        concurrent ``state = filter.step(state, ...)`` commit can never
+        overwrite the re-initialization (ADVICE round 3)."""
+        with self._reinit_lock:
+            self._pending_reinit = ("pose", np.asarray(pose, np.float64))
+
+    def request_initialize_global(self) -> None:
+        """Thread-safe deferred :meth:`initialize_global` (see above)."""
+        with self._reinit_lock:
+            self._pending_reinit = ("global", None)
+
+    def _apply_pending_reinit(self) -> None:
+        with self._reinit_lock:
+            req, self._pending_reinit = self._pending_reinit, None
+        if req is None:
+            return
+        kind, pose = req
+        if kind == "pose":
+            self.initialize_pose(pose)
+        else:
+            self.initialize_global()
+
     # ----- the update tick (reference timer_update :720-846) -----
     def update(self, now: float | None = None) -> np.ndarray | None:
         """Run one MCL correction if possible; returns the inferred pose."""
+        if self._pending_reinit is not None:
+            self._apply_pending_reinit()
         now = time.monotonic() if now is None else now
         if self._last_update_time is None:
             self._last_update_time = now

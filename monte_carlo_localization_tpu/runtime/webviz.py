@@ -96,6 +96,9 @@ class WebViz:
         self._frame_at = 0.0
         self._min_interval = min_frame_interval_s
         self._trajectory: list[np.ndarray] = []
+        # last-known values served when the donated-buffer race hits _state()
+        self._last_log_q = 0.0
+        self._last_pose = np.zeros(3, np.float64)
         viz = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -136,12 +139,16 @@ class WebViz:
                         self._send(400, json.dumps(
                             {"error": str(e)}).encode())
                         return
-                    viz.node.initialize_pose(pose)
+                    # deferred: applied at the top of the next live tick on
+                    # the loop thread — a direct initialize_pose from this
+                    # HTTP thread races the live loop's state commit and can
+                    # be silently overwritten by the stepped old belief
+                    viz.node.request_initialize_pose(pose)
                     viz._trajectory.clear()
                     self._send(200, json.dumps(
                         {"pose": [float(v) for v in pose]}).encode())
                 elif path == "/global":
-                    viz.node.initialize_global()
+                    viz.node.request_initialize_global()
                     viz._trajectory.clear()
                     self._send(200, b'{"ok": true}')
                 else:
@@ -208,16 +215,31 @@ class WebViz:
 
     # -- rendering / state --
     def _state(self) -> dict:
+        # same donated-buffer race as _render(): the live loop donates the
+        # state into the next dispatch, so any array this thread grabbed
+        # (particles via current_pose, the log_quality scalar) may already
+        # be deleted — serve the last-known values instead of 500ing the
+        # /state.json poll
         node = self.node
-        pose = node.current_pose()
+        state = node.state  # snapshot the reference once
+        try:
+            pose = np.asarray(node.current_pose())[:3]
+        except Exception:
+            pose = self._last_pose
+        else:
+            self._last_pose = pose
+        log_q = self._last_log_q
+        if state is not None:
+            try:
+                log_q = float(node.filter.log_quality(state))
+            except Exception:
+                pass
+            else:
+                self._last_log_q = log_q
         return dict(
-            pose=[float(v) for v in np.asarray(pose)[:3]],
+            pose=[float(v) for v in pose],
             iters=int(node.iters),
-            log_quality=(
-                float(node.filter.log_quality(node.state))
-                if node.state is not None
-                else 0.0
-            ),
+            log_quality=log_q,
         )
 
     def _render(self) -> bytes:
@@ -247,7 +269,12 @@ class WebViz:
                         0, len(particles) - 1, 2000
                     ).astype(int)
                     particles, weights = particles[idx], weights[idx]
-            pose = node.current_pose()
+            try:
+                pose = node.current_pose()
+            except Exception:
+                # current_pose reads state.particles — same donated-buffer
+                # race as above
+                pose = None
             if pose is not None:
                 self._trajectory.append(np.asarray(pose, np.float64))
                 if len(self._trajectory) > 2000:

@@ -742,7 +742,7 @@ class TestFilterIntegration:
             gm.lut_theta_bins, gm.max_range_px,
             height=gm.height, width=gm.width, resolution=gm.resolution,
             origin_x=float(gm.origin_x), origin_y=float(gm.origin_y),
-            subbin=pf.config.pallas_subbin,  # default ON
+            subbin=pf.config.pallas_subbin,  # default OFF (measured negative; opt-in)
         )
         np.testing.assert_allclose(got, exact, rtol=0, atol=1e-3)
 

@@ -70,6 +70,10 @@ class TestWebViz:
         assert code == 200
         np.testing.assert_allclose(out["pose"][:2], target, atol=0.1)
         assert abs(out["pose"][2]) < 1e-6
+        # POSTed re-inits are DEFERRED to the next live tick (they queue
+        # via request_initialize_pose so an in-flight live-loop state
+        # commit can't overwrite them — ADVICE round 3); tick to apply
+        node.update()
         cloud = np.asarray(node.state.particles)
         assert np.linalg.norm(cloud[:, :2].mean(0) - target) < 0.3
 
@@ -86,9 +90,11 @@ class TestWebViz:
             viz, "/initialpose", dict(x=8.0, y=9.0, theta=0.7)
         )
         assert code == 200 and out["pose"] == [8.0, 9.0, 0.7]
+        node.update()  # deferred re-inits apply at the next tick
         spread_seeded = np.asarray(node.state.particles)[:, 0].std()
         code, _ = _post(viz, "/global")
         assert code == 200
+        node.update()
         spread_global = np.asarray(node.state.particles)[:, 0].std()
         assert spread_global > 3 * spread_seeded  # cloud spans the map again
 
@@ -104,6 +110,50 @@ class TestWebViz:
             raise AssertionError("expected HTTP 404")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+    def test_reinit_is_deferred_to_the_loop_thread(self, served):
+        """A POSTed re-init must not mutate node.state from the HTTP
+        thread (it would race the live loop's state commit); it queues and
+        applies at the top of the next update() tick (ADVICE round 3)."""
+        node, viz = served
+        before = np.asarray(node.state.particles).copy()
+        code, _ = _post(viz, "/initialpose", dict(x=5.0, y=5.0, theta=0.1))
+        assert code == 200
+        # the HTTP handler returned but the state is untouched until a tick
+        np.testing.assert_array_equal(np.asarray(node.state.particles), before)
+        assert node._pending_reinit is not None
+        node.update()
+        assert node._pending_reinit is None
+        cloud = np.asarray(node.state.particles)
+        assert np.linalg.norm(cloud[:, :2].mean(0) - [5.0, 5.0]) < 0.3
+
+    def test_state_json_survives_deleted_buffer(self, served):
+        """/state.json must serve the last-known log quality instead of
+        500ing when the live loop has donated the state buffer away
+        (ADVICE round 3 — the same race _render() already guards)."""
+        node, viz = served
+
+        class Deleted:
+            """Mimics a donated jax array: any read raises."""
+            @property
+            def particles(self):
+                raise RuntimeError("buffer was deleted")
+
+            @property
+            def log_quality(self):
+                raise RuntimeError("buffer was deleted")
+
+            def weights(self):
+                raise RuntimeError("buffer was deleted")
+
+        # seed a known-good value first
+        code, body, _ = _get(viz, "/state.json")
+        assert code == 200
+        node.state = Deleted()
+        code, body, _ = _get(viz, "/state.json")
+        assert code == 200
+        s = json.loads(body)
+        assert np.isfinite(s["log_quality"])
 
     def test_px_world_roundtrip(self, served):
         _, viz = served
