@@ -124,9 +124,29 @@ def _build_single(num_particles, num_beams, gm, method="lut_pallas"):
     return pf, state, scan
 
 
+def _spread(rates) -> dict:
+    """median/min/max over measurement rounds (VERDICT round-3 item 6:
+    single-run numbers were unresolvable against the remote transport's
+    2-5x day-to-day swing; per-round spread separates engine changes from
+    transport noise)."""
+    rates = sorted(float(r) for r in rates)
+    return dict(
+        median=float(np.median(rates)),
+        min=rates[0],
+        max=rates[-1],
+        rounds=len(rates),
+    )
+
+
 def bench_updates(num_particles, num_beams, gm, method="lut_pallas",
-                  chain=50, reps=5, quick=False):
-    """Measure chained-throughput and dispatch-latency updates/sec."""
+                  chain=50, reps=5, quick=False, rounds=3):
+    """Measure chained-throughput and dispatch-latency updates/sec.
+
+    Each metric is measured ``rounds`` times (each round blocks the host
+    exactly once, so the per-round rate is undistorted by the ~80 ms
+    remote readback); returns (chained_stats, dispatch_stats) dicts of
+    median/min/max/rounds.
+    """
     import jax
 
     if quick:
@@ -134,7 +154,7 @@ def bench_updates(num_particles, num_beams, gm, method="lut_pallas",
         # stays amortized exactly like the full run) and only cut the
         # number of timed repetitions — a --quick number stays within
         # ~noise of the full headline instead of underreporting ~3x
-        reps = 2
+        reps, rounds = 2, 2
     pf, state, scan = _build_single(num_particles, num_beams, gm, method)
     action = np.array([0.05, 0.0, 0.01], np.float32)
     actions = np.tile(action, (chain, 1))
@@ -143,12 +163,13 @@ def bench_updates(num_particles, num_beams, gm, method="lut_pallas",
     # --- chained throughput (production replay path) ---
     state, poses = pf.step_many(state, actions, scans)  # compile + warm
     jax.block_until_ready(poses)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        state, poses = pf.step_many(state, actions, scans)
-    jax.block_until_ready(poses)
-    dt = time.perf_counter() - t0
-    chained = reps * chain / dt
+    chained_rates = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, poses = pf.step_many(state, actions, scans)
+        jax.block_until_ready(poses)
+        chained_rates.append(reps * chain / (time.perf_counter() - t0))
     last_pose = np.asarray(poses[-1])
     assert np.isfinite(last_pose).all(), f"non-finite pose: {last_pose}"
 
@@ -156,12 +177,14 @@ def bench_updates(num_particles, num_beams, gm, method="lut_pallas",
     n_disp = 5 if quick else 30
     state, pose = pf.step(state, action, scan)
     jax.block_until_ready(pose)
-    t0 = time.perf_counter()
-    for _ in range(n_disp):
-        state, pose = pf.step(state, action, scan)
-    jax.block_until_ready(pose)
-    dispatch = n_disp / (time.perf_counter() - t0)
-    return chained, dispatch
+    dispatch_rates = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(n_disp):
+            state, pose = pf.step(state, action, scan)
+        jax.block_until_ready(pose)
+        dispatch_rates.append(n_disp / (time.perf_counter() - t0))
+    return _spread(chained_rates), _spread(dispatch_rates)
 
 
 def bench_convergence(num_particles, num_beams, gm, method="lut_pallas",
@@ -328,16 +351,17 @@ def bench_live(num_particles, num_beams, gm, method="lut_pallas",
 
 
 def bench_fleet(fleet_size, num_particles, num_beams, maps, method="lut",
-                chain=10, reps=3, iters=20, quick=False):
+                chain=10, reps=3, iters=20, quick=False, rounds=3):
     """Fleet across MULTIPLE maps (BASELINE.json config #5): members share
     each circuit's LUT block via map_assignment. Returns
-    (dispatch, chained) fleet-steps/sec (each = fleet_size member
-    updates). ``dispatch`` (one host->device dispatch per fleet
-    correction) is the headline `value`: a 64-car fleet step is big
-    enough (~23 ms) to amortize its own dispatch, so the ``chained``
-    path (``FleetFilter.step_many``) measures EQUAL within run-to-run
-    noise — unlike the single-filter step_many, whose 0.35 ms step is
-    dispatch-dominated and gains ~6.5x from chaining (PERF.md)."""
+    (dispatch_stats, chained_stats) fleet-steps/sec spread dicts (each
+    fleet step = fleet_size member updates). ``dispatch`` (one
+    host->device dispatch per fleet correction) is the headline `value`:
+    a 64-car fleet step is big enough (~23 ms) to amortize its own
+    dispatch, so the ``chained`` path (``FleetFilter.step_many``)
+    measures EQUAL within run-to-run noise — unlike the single-filter
+    step_many, whose 0.35 ms step is dispatch-dominated and gains ~6.5x
+    from chaining (PERF.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -346,7 +370,7 @@ def bench_fleet(fleet_size, num_particles, num_beams, maps, method="lut",
     from monte_carlo_localization_tpu.parallel import FleetFilter, stack_maps
 
     if quick:
-        chain, reps, iters = 5, 1, 5
+        chain, reps, iters, rounds = 5, 1, 5, 2
     beams = _beams(num_beams)
     if not isinstance(maps, (list, tuple)):
         maps = [maps]
@@ -390,11 +414,13 @@ def bench_fleet(fleet_size, num_particles, num_beams, maps, method="lut",
     # --- chained throughput (replay path: K fleet corrections/dispatch) ---
     state, poses = ff.step_many(state, actions_k, scans_k)  # compile + warm
     jax.block_until_ready(poses)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        state, poses = ff.step_many(state, actions_k, scans_k)
-    jax.block_until_ready(poses)
-    chained = reps * chain / (time.perf_counter() - t0)
+    chained_rates = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, poses = ff.step_many(state, actions_k, scans_k)
+        jax.block_until_ready(poses)
+        chained_rates.append(reps * chain / (time.perf_counter() - t0))
     err = np.linalg.norm(
         np.asarray(poses)[-1, :, :2] - poses0[:, :2], axis=1
     )
@@ -405,16 +431,18 @@ def bench_fleet(fleet_size, num_particles, num_beams, maps, method="lut",
     # --- per-dispatch latency path ---
     state, poses = ff.step(state, action, scans)
     jax.block_until_ready(poses)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, poses = ff.step(state, action, scans)
-    jax.block_until_ready(poses)
-    dispatch = iters / (time.perf_counter() - t0)
+    dispatch_rates = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, poses = ff.step(state, action, scans)
+        jax.block_until_ready(poses)
+        dispatch_rates.append(iters / (time.perf_counter() - t0))
     err = np.linalg.norm(np.asarray(poses)[:, :2] - poses0[:, :2], axis=1)
     assert np.isfinite(err).all() and err.max() < 1.0, (
         f"fleet diverged: max err {err.max()}"
     )
-    return dispatch, chained
+    return _spread(dispatch_rates), _spread(chained_rates)
 
 
 CONFIGS = {
@@ -456,27 +484,39 @@ def run_config(n, quick=False, method=None):
             c["particles"], c["beams"], gm, method=m,
             chain=c.get("chain", 50), quick=quick,
         )
+        v = chained["median"]
         return dict(
             metric=f"mcl_updates_per_sec[{c['note']}]"
                    + ("[quick]" if quick else ""),
-            value=round(chained, 2),
+            value=round(v, 2),
             unit="updates/s",
-            vs_baseline=round(chained / NORTH_STAR_UPDATES_PER_SEC, 4),
-            dispatch_updates_per_sec=round(dispatch, 2),
-            rays_per_sec=round(chained * c["particles"] * c["beams"]),
+            vs_baseline=round(v / NORTH_STAR_UPDATES_PER_SEC, 4),
+            value_min=round(chained["min"], 2),
+            value_max=round(chained["max"], 2),
+            rounds=chained["rounds"],
+            dispatch_updates_per_sec=round(dispatch["median"], 2),
+            dispatch_min=round(dispatch["min"], 2),
+            dispatch_max=round(dispatch["max"], 2),
+            rays_per_sec=round(v * c["particles"] * c["beams"]),
             method=m,
         )
     ups, chained = bench_fleet(
         c["fleet"], c["particles"], c["beams"], gm, method=m, quick=quick,
     )
+    v = ups["median"]
     return dict(
         metric=f"fleet_steps_per_sec[{c['note']}]"
                + ("[quick]" if quick else ""),
-        value=round(ups, 2),
+        value=round(v, 2),
         unit="fleet-steps/s",
-        vs_baseline=round(ups * c["fleet"] / NORTH_STAR_UPDATES_PER_SEC, 4),
-        chained_fleet_steps_per_sec=round(chained, 2),
-        rays_per_sec=round(ups * c["fleet"] * c["particles"] * c["beams"]),
+        vs_baseline=round(v * c["fleet"] / NORTH_STAR_UPDATES_PER_SEC, 4),
+        value_min=round(ups["min"], 2),
+        value_max=round(ups["max"], 2),
+        rounds=ups["rounds"],
+        chained_fleet_steps_per_sec=round(chained["median"], 2),
+        chained_min=round(chained["min"], 2),
+        chained_max=round(chained["max"], 2),
+        rays_per_sec=round(v * c["fleet"] * c["particles"] * c["beams"]),
         method=m,
     )
 
@@ -543,14 +583,20 @@ def run_headline(quick=False, method="lut_pallas", synthetic=False):
         4000, 1080, gm, method=method, chain=50, reps=2 if quick else 10,
         quick=quick,
     )
+    v = chained["median"]
     return dict(
         metric=f"mcl_updates_per_sec@4000x1080[{map_tag}]"
                + ("[quick]" if quick else ""),
-        value=round(chained, 2),
+        value=round(v, 2),
         unit="updates/s",
-        vs_baseline=round(chained / NORTH_STAR_UPDATES_PER_SEC, 4),
-        dispatch_updates_per_sec=round(dispatch, 2),
-        rays_per_sec=round(chained * 4000 * 1080),
+        vs_baseline=round(v / NORTH_STAR_UPDATES_PER_SEC, 4),
+        value_min=round(chained["min"], 2),
+        value_max=round(chained["max"], 2),
+        rounds=chained["rounds"],
+        dispatch_updates_per_sec=round(dispatch["median"], 2),
+        dispatch_min=round(dispatch["min"], 2),
+        dispatch_max=round(dispatch["max"], 2),
+        rays_per_sec=round(v * 4000 * 1080),
         method=method,
     )
 
