@@ -266,6 +266,118 @@ def bench_convergence(num_particles, num_beams, gm, method="lut_pallas",
     return rate, med_u, med_s, per_trial
 
 
+def bench_kidnap(num_particles, num_beams, gm, method="lut_pallas",
+                 trials=20, auto_reinit=True, converge_updates=60,
+                 recover_updates=220, tol_m=0.5, quick=False):
+    """Closed-loop kidnapped-robot recovery with the Augmented-MCL monitor
+    IN the loop (VERDICT round-3 item 2).
+
+    Each trial drives a real :class:`MCLNode` per correction (sync
+    dispatch, so the w_fast/w_slow quality monitor sees every step):
+
+    1. converge from a 100k uniform seed to a random true pose A;
+    2. KIDNAP: teleport the truth to a different random pose B (the scan
+       stream switches to B's geometry with no odometry displacement);
+    3. measure updates until the pose estimate lands within ``tol_m`` of
+       B. With ``auto_reinit`` the monitor detects the sustained quality
+       collapse and triggers a global re-initialization; without it the
+       filter stays locked at A (motion noise alone cannot carry 100k
+       particles across the map), which is exactly the reference's
+       behavior — there recovery is human-triggered via /clicked_point
+       (reference src/particle_filter.cpp:376-379).
+
+    Returns (recovery_rate, med_recover_updates, per_trial) where each
+    trial dict records phase-1 convergence, recovery updates, and how
+    many auto re-inits fired.
+    """
+    import jax.numpy as jnp
+
+    from monte_carlo_localization_tpu.config import MCLConfig
+    from monte_carlo_localization_tpu.ops.raycast import cast_rays_sphere
+    from monte_carlo_localization_tpu.runtime import MCLNode
+
+    if quick:
+        trials, recover_updates = 2, 120
+    beams = _beams(num_beams)
+    rng = np.random.default_rng(7)
+    free = np.asarray(gm.free_cells[: int(gm.num_free)])
+
+    def rand_pose():
+        row, col = free[rng.integers(len(free))]
+        # cell CENTER: corner coords sit on resolution multiples where f32
+        # world->grid truncation can land in the occupied neighbor
+        return np.array(
+            [(col + 0.5) * gm.resolution + float(gm.origin_x),
+             (row + 0.5) * gm.resolution + float(gm.origin_y),
+             rng.uniform(-np.pi, np.pi)],
+            np.float32,
+        )
+
+    def synth(pose):
+        q = np.stack(
+            [np.full(num_beams, pose[0]), np.full(num_beams, pose[1]),
+             pose[2] + beams], 1,
+        ).astype(np.float32)
+        return np.asarray(cast_rays_sphere(gm, jnp.asarray(q), num_iters=64))
+
+    cfg = MCLConfig(
+        max_particles=num_particles, raycast_method=method,
+        auto_reinit=auto_reinit,
+        # scans are synthesized ALREADY at num_beams; the default
+        # angle_step=18 would re-stride them down to ~num_beams/18 beams
+        angle_step=1,
+    )
+    per_trial = []
+    for trial in range(trials):
+        node = MCLNode(gm, cfg, rng_seed=100 + trial)
+        node.delay_compensation_enabled = False
+        pose_a, pose_b = rand_pose(), rand_pose()
+        # B far enough from A that "still at A" can't count as recovered
+        guard = 0
+        while np.hypot(*(pose_b[:2] - pose_a[:2])) < 4 * tol_m and guard < 64:
+            pose_b = rand_pose()
+            guard += 1
+        scan_a, scan_b = synth(pose_a), synth(pose_b)
+        node.on_scan(scan_a, beam_angles=beams)
+        # zero odometry: suppresses exploration noise; motion noise only
+        node.on_odometry(0.0, 0.0, 0.0, 0.0, 0.0, stamp=0.0)
+        t = 0.0
+        node.update(now=t)  # arms the dt clock
+
+        converged_at = None
+        for u in range(1, converge_updates + 1):
+            t += 0.05
+            est = node.update(now=t)
+            if est is not None and np.hypot(
+                est[0] - pose_a[0], est[1] - pose_a[1]
+            ) < tol_m:
+                converged_at = u
+                if u >= 30:  # past reinit_min_iters: the monitor is armed
+                    break
+        reinits_before = node.auto_reinits
+        recovered_at = None
+        if converged_at is not None:
+            node.on_scan(scan_b, beam_angles=beams)  # the kidnap event
+            for u in range(1, recover_updates + 1):
+                t += 0.05
+                est = node.update(now=t)
+                if est is not None and np.hypot(
+                    est[0] - pose_b[0], est[1] - pose_b[1]
+                ) < tol_m:
+                    recovered_at = u
+                    break
+        per_trial.append(dict(
+            converged=converged_at, recovered=recovered_at,
+            auto_reinits=node.auto_reinits - reinits_before,
+        ))
+
+    eligible = [tr for tr in per_trial if tr["converged"] is not None]
+    ok = [tr for tr in eligible if tr["recovered"] is not None]
+    rate = len(ok) / len(eligible) if eligible else 0.0
+    med = float(np.median([tr["recovered"] for tr in ok])) if ok else None
+    return rate, med, per_trial
+
+
 def bench_live(num_particles, num_beams, gm, method="lut_pallas",
                live_chunk=1, async_depth=4, duration_s=6.0, quick=False):
     """Corrections/s a LIVE robot loop actually gets: real wall-clock
@@ -286,6 +398,12 @@ def bench_live(num_particles, num_beams, gm, method="lut_pallas",
         max_particles=num_particles, raycast_method=method,
         async_correction=True, async_depth=async_depth,
         live_chunk=live_chunk,
+        # the synthesized scan is ALREADY at num_beams: without this the
+        # default angle_step=18 silently re-strided it to num_beams/18
+        # beams (the pre-round-4 live lines effectively ran ~4-beam
+        # corrections; per-step cost is window-DMA-bound so the rate
+        # impact is small, but the label was dishonest)
+        angle_step=1,
     )
     node = MCLNode(gm, cfg, rng_seed=0)
     beams = _beams(num_beams)
@@ -528,7 +646,7 @@ def run_converge(quick=False, method="lut_pallas"):
     (its README describes global re-localization aspirationally only)."""
     gm = _load_real_map(CONFIG_MAPS[4])
     rate, med_u, med_s, per_trial = bench_convergence(
-        100_000, 60, gm, method=method, quick=quick,
+        100_000, 60, gm, method=method, trials=20, quick=quick,
     )
     return dict(
         metric="time_to_converge[config#4: 100k uniform seed, basement_fixed]"
@@ -538,6 +656,31 @@ def run_converge(quick=False, method="lut_pallas"):
         vs_baseline=rate,
         success_rate=rate,
         median_updates=med_u,
+        trials=per_trial,
+        method=method,
+    )
+
+
+def run_kidnap(quick=False, method="lut_pallas", monitor=True):
+    """Kidnapped-robot CLOSED LOOP on basement_fixed: converge -> teleport
+    -> (monitor detects quality collapse -> global re-init) -> reconverge.
+    ``vs_baseline`` carries the recovery rate. ``--kidnap-off`` measures
+    the same protocol with the monitor disabled (the reference's behavior:
+    recovery only via human /clicked_point)."""
+    gm = _load_real_map(CONFIG_MAPS[4])
+    trials = 4 if monitor is False else 20
+    rate, med_u, per_trial = bench_kidnap(
+        100_000, 60, gm, method=method, trials=trials,
+        auto_reinit=monitor, quick=quick,
+    )
+    tag = "auto_reinit=on" if monitor else "auto_reinit=OFF (reference behavior)"
+    return dict(
+        metric=f"kidnap_recovery[basement_fixed, 100k particles, {tag}]"
+               + ("[quick]" if quick else ""),
+        value=med_u if med_u is not None else -1.0,
+        unit="updates-to-recover",
+        vs_baseline=rate,
+        recovery_rate=rate,
         trials=per_trial,
         method=method,
     )
@@ -613,6 +756,10 @@ def _child_args(args, method, cpu=False, cpu_note=None):
             argv += ["--cpu-note", note]
     if getattr(args, "converge", False):
         argv.append("--converge")
+    if getattr(args, "kidnap", False):
+        argv.append("--kidnap")
+    if getattr(args, "kidnap_off", False):
+        argv.append("--kidnap-off")
     if getattr(args, "synthetic", False):
         argv.append("--synthetic")
     if getattr(args, "live", False):
@@ -780,6 +927,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="config #4 'until convergence' semantics: 100k "
                          "uniform seed on basement_fixed, measure "
                          "time/updates to converge + success rate")
+    ap.add_argument("--kidnap", action="store_true",
+                    help="closed-loop kidnapped-robot recovery through "
+                         "MCLNode with the Augmented-MCL auto-reinit "
+                         "monitor ON (20 trials)")
+    ap.add_argument("--kidnap-off", action="store_true",
+                    help="the same kidnap protocol with the monitor "
+                         "DISABLED (reference behavior: no recovery)")
     ap.add_argument("--synthetic", action="store_true",
                     help="headline on the round-1 768^2 synthetic world "
                          "instead of the Spielberg reference map")
@@ -834,6 +988,10 @@ def main(argv=None) -> int:
 
     if args.converge:
         _emit(run_converge(quick=args.quick, method=args.method))
+        return 0
+    if args.kidnap or args.kidnap_off:
+        _emit(run_kidnap(quick=args.quick, method=args.method,
+                         monitor=not args.kidnap_off))
         return 0
     if args.live:
         for line in run_live(quick=args.quick, method=args.method):
