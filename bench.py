@@ -560,7 +560,75 @@ def bench_fleet(fleet_size, num_particles, num_beams, maps, method="lut",
     assert np.isfinite(err).all() and err.max() < 1.0, (
         f"fleet diverged: max err {err.max()}"
     )
-    return _spread(dispatch_rates), _spread(chained_rates)
+    info = {}
+    fm = ff.map
+    lut_bytes = 0
+    for leaf in ("range_lut", "lut_row_map", "lut_row_map_bases", "lut_bases"):
+        a = getattr(fm, leaf, None)
+        if a is not None:
+            # size*itemsize, NOT np.asarray: the LUT is multi-GB on device
+            lut_bytes += int(a.size) * int(np.dtype(a.dtype).itemsize)
+    if lut_bytes:
+        info["lut_bytes"] = lut_bytes
+    return _spread(dispatch_rates), _spread(chained_rates), info
+
+
+def _giant_fleet_maps():
+    """Four genuinely-distinct GIANT circuits at one resolution for the
+    heterogeneous-compact-LUT fleet (VERDICT round-3 item 1). The fleet
+    kernel bakes ONE resolution + max_range_px scalar, so Spielberg
+    (0.05796 m/px) and basement_fixed (0.0504 m/px) cannot share a fleet;
+    instead the 1300x1300 basement map is joined by its two mirror images
+    and its 180-degree rotation — four different occupancy fields (and
+    four different compact LUT blocks / row maps) of config-#4 scale."""
+    from monte_carlo_localization_tpu.mapping.grid_map import (
+        map_from_occupancy,
+    )
+
+    base = _load_real_map(CONFIG_MAPS[4])
+    occ = np.asarray(base.occupancy)
+    origin = (float(base.origin_x), float(base.origin_y), 0.0)
+    out = [base]
+    for name, o in (
+        ("basement_flip_ud", occ[::-1]),
+        ("basement_flip_lr", occ[:, ::-1]),
+        ("basement_rot180", occ[::-1, ::-1]),
+    ):
+        out.append(map_from_occupancy(
+            np.ascontiguousarray(o), base.resolution, origin,
+            max_range_meters=base.max_range_meters, name=name,
+        ))
+    return out
+
+
+def run_fleet_giant(quick=False, method="lut_pallas"):
+    """Heterogeneous fleet over GIANT maps: 16 cars x 4000 particles over
+    four 1300x1300 circuits via per-member row-compacted LUT blocks
+    (GridMap.with_member_compact_luts — composed row_map_bases+lut_bases
+    addressing in the kernel). The one shipped round-3 capability that
+    had no hardware numbers."""
+    maps = _giant_fleet_maps()
+    fleet, particles, beams_n = 16, 4000, 60
+    ups, chained, info = bench_fleet(
+        fleet, particles, beams_n, maps, method=method, quick=quick,
+    )
+    v = ups["median"]
+    return dict(
+        metric="fleet_steps_per_sec[giant-hetero: 16 cars x 4000p over 4 "
+               "basement-class 1300x1300 maps, per-member compact LUTs]"
+               + ("[quick]" if quick else ""),
+        value=round(v, 2),
+        unit="fleet-steps/s",
+        vs_baseline=round(v * fleet / NORTH_STAR_UPDATES_PER_SEC, 4),
+        value_min=round(ups["min"], 2),
+        value_max=round(ups["max"], 2),
+        rounds=ups["rounds"],
+        member_updates_per_sec=round(v * fleet, 2),
+        chained_fleet_steps_per_sec=round(chained["median"], 2),
+        rays_per_sec=round(v * fleet * particles * beams_n),
+        **info,
+        method=method,
+    )
 
 
 CONFIGS = {
@@ -618,7 +686,7 @@ def run_config(n, quick=False, method=None):
             rays_per_sec=round(v * c["particles"] * c["beams"]),
             method=m,
         )
-    ups, chained = bench_fleet(
+    ups, chained, info = bench_fleet(
         c["fleet"], c["particles"], c["beams"], gm, method=m, quick=quick,
     )
     v = ups["median"]
@@ -635,6 +703,7 @@ def run_config(n, quick=False, method=None):
         chained_min=round(chained["min"], 2),
         chained_max=round(chained["max"], 2),
         rays_per_sec=round(v * c["fleet"] * c["particles"] * c["beams"]),
+        **info,
         method=m,
     )
 
@@ -760,6 +829,8 @@ def _child_args(args, method, cpu=False, cpu_note=None):
         argv.append("--kidnap")
     if getattr(args, "kidnap_off", False):
         argv.append("--kidnap-off")
+    if getattr(args, "fleet_giant", False):
+        argv.append("--fleet-giant")
     if getattr(args, "synthetic", False):
         argv.append("--synthetic")
     if getattr(args, "live", False):
@@ -934,6 +1005,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--kidnap-off", action="store_true",
                     help="the same kidnap protocol with the monitor "
                          "DISABLED (reference behavior: no recovery)")
+    ap.add_argument("--fleet-giant", action="store_true",
+                    help="heterogeneous fleet over GIANT maps: 16 cars x "
+                         "4000p over four 1300x1300 basement-class "
+                         "circuits via per-member compact LUT blocks")
     ap.add_argument("--synthetic", action="store_true",
                     help="headline on the round-1 768^2 synthetic world "
                          "instead of the Spielberg reference map")
@@ -992,6 +1067,9 @@ def main(argv=None) -> int:
     if args.kidnap or args.kidnap_off:
         _emit(run_kidnap(quick=args.quick, method=args.method,
                          monitor=not args.kidnap_off))
+        return 0
+    if args.fleet_giant:
+        _emit(run_fleet_giant(quick=args.quick, method=args.method))
         return 0
     if args.live:
         for line in run_live(quick=args.quick, method=args.method):
