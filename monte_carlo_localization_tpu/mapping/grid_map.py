@@ -300,12 +300,24 @@ class GridMap:
         The heterogeneous-fleet analogue of :meth:`with_compact_range_lut`
         (giant circuits whose dense per-member LUT blocks would exceed
         memory): each member's LUT stores only rows for cells within
-        max_range of an obstacle (plus the shared constant far row), built
-        at the member's TRUE pre-padding shape by the native C++/OpenMP
-        builder, and the blocks are concatenated. Addressing composes two
-        indirections the Pallas query applies in order: member cell ->
+        max_range of an obstacle (plus a per-member constant far row),
+        built at the member's TRUE pre-padding shape. Addressing composes
+        two indirections the Pallas query applies in order: member cell ->
         ``lut_row_map[lut_row_map_base[m] + cell]`` -> compact row ->
         ``row * stride + lut_member_base[m]`` (subrow units).
+
+        u8 maps (max_range_px <= 254) build ON DEVICE, each member's
+        [far, rows...] block written directly into one donated buffer
+        (``build_compact_range_lut_jax(out=..., row_base=...)``): no
+        multi-GB host build, no host->device bulk transfer, no device
+        concatenation — peak memory is the final buffer + the ~1 GB sweep
+        slab. (The earlier native-host path built every block in RAM
+        single-threaded — ~2 min per basement-scale map on a 1-vCPU host —
+        then shipped and concatenated the full set; at 60-beam strides a
+        1300x1300 indoor map compacts to only ~0.99 of dense, ~4.8 GiB
+        per member, so four members overran both the bench watchdog and
+        HBM.) u16 members (long-range maps) keep the native C++ builder —
+        the device builder is u8-only.
         """
         import dataclasses
 
@@ -344,8 +356,12 @@ class GridMap:
             )
         dtype = lut_dtype(self.max_range_px)
         spe = row_stride // subrow_entries  # subrows per LUT row
-        blocks: list[np.ndarray] = []
+
+        # pass 1 (host, cheap): per-member clearance + compact row maps,
+        # so block sizes/bases are known before any LUT bytes exist
+        clearances: list[np.ndarray] = []
         rmaps: list[np.ndarray] = []
+        k_rows = np.zeros((m,), np.int64)
         bases = np.zeros((m,), np.int64)
         rmap_bases = np.zeros((m,), np.int64)
         at = rat = 0
@@ -355,31 +371,67 @@ class GridMap:
             clearance = clearance_field(
                 occ_i, self.max_range_px + FAR_ROW_MARGIN + 2
             )
-            row_map_i, _ = compact_row_map(clearance, self.max_range_px)
-            lut_i = native_build_compact_range_lut(
-                occ_i, t_bins, self.max_range_px, row_map_i, row_stride,
-                dtype=dtype,
+            row_map_i, cells_i = compact_row_map(
+                clearance, self.max_range_px
             )
-            if lut_i is None:
-                raise RuntimeError(
-                    "compact per-member LUTs need the native builder (g++) "
-                    "— unavailable; use raycast_method='lut' or raise "
-                    "MCL_LUT_DENSE_MAX"
-                )
+            clearances.append(clearance)
+            rmaps.append(row_map_i)
+            k_rows[i] = len(cells_i)
             bases[i] = at
             rmap_bases[i] = rat
-            blocks.append(np.ascontiguousarray(lut_i).reshape(-1))
-            rmaps.append(row_map_i)
-            at += lut_i.shape[0] * spe
+            at += (len(cells_i) + 1) * spe
             rat += h * w
         if at > np.iinfo(np.int32).max or rat > np.iinfo(np.int32).max:
             raise ValueError(
                 "compact fleet LUT index overflows int32 — fewer/smaller "
                 "maps or raycast_method='lut'"
             )
+
+        if dtype.itemsize == 1:
+            # pass 2 (device): write every member's [far, rows...] block
+            # into ONE donated buffer at its row offset
+            from monte_carlo_localization_tpu.mapping.range_lut_device import (
+                SPAN,
+                build_compact_range_lut_jax,
+            )
+
+            total_rows = int(k_rows.sum()) + m
+            out = jnp.full(
+                (total_rows, row_stride // SPAN, 4, 128),
+                self.max_range_px,
+                jnp.uint8,
+            )
+            for i in range(m):
+                h, w = int(dims[i, 0]), int(dims[i, 1])
+                out, _ = build_compact_range_lut_jax(
+                    occupied[i, :h, :w],
+                    clearances[i],
+                    t_bins,
+                    self.max_range_px,
+                    row_stride,
+                    out=out,
+                    row_base=int(bases[i]) // spe,
+                )
+            lut_leaf = out
+        else:
+            blocks: list[np.ndarray] = []
+            for i in range(m):
+                h, w = int(dims[i, 0]), int(dims[i, 1])
+                lut_i = native_build_compact_range_lut(
+                    occupied[i, :h, :w], t_bins, self.max_range_px,
+                    rmaps[i], row_stride, dtype=dtype,
+                )
+                if lut_i is None:
+                    raise RuntimeError(
+                        "compact per-member u16 LUTs need the native "
+                        "builder (g++) — unavailable; use "
+                        "raycast_method='lut' or raise MCL_LUT_DENSE_MAX"
+                    )
+                blocks.append(np.ascontiguousarray(lut_i).reshape(-1))
+            lut_leaf = jnp.asarray(np.concatenate(blocks))
         return dataclasses.replace(
             self,
-            range_lut=jnp.asarray(np.concatenate(blocks)),
+            range_lut=lut_leaf,
             lut_row_map=jnp.asarray(
                 np.concatenate(rmaps).astype(np.int32)
             ),

@@ -183,6 +183,15 @@ def compact_row_map(clearance: np.ndarray, max_range_px: int):
 SPAN = 512  # physical-bin span per write: one (4, 128) u8 DMA block column
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _write_span(buf, flats, cells_slice, span_idx, r0):
+    """Write one 512-bin span's rows into the donated LUT buffer."""
+    cols = [f[cells_slice] for f in flats]
+    vals = cols[0] if len(cols) == 1 else jnp.concatenate(cols, 1)
+    vals = vals.reshape(vals.shape[0], 1, 4, 128)
+    return jax.lax.dynamic_update_slice(buf, vals, (r0, span_idx, 0, 0))
+
+
 def build_compact_range_lut_jax(
     occupied,
     clearance,
@@ -190,10 +199,23 @@ def build_compact_range_lut_jax(
     max_range_px: int,
     row_stride: int,
     chunk: int = 0,  # kept for API compat; spans are fixed at SPAN bins
+    *,
+    out=None,
+    row_base: int = 0,
 ):
     """Compacted range LUT + (H*W,) int32 row map, built on device.
 
     Returns (lut (K+1, stride//512, 4, 128) jnp.uint8, row_map np.int32).
+
+    With ``out``/``row_base`` the rows are written into a CALLER-provided
+    donated buffer starting at ``row_base`` (the member-block assembly
+    path of ``GridMap.with_member_compact_luts``: one big buffer holds
+    every member's [far, rows...] block, so no multi-GB host build,
+    host->device transfer, or device-side concatenation ever happens —
+    peak memory is the final buffer plus the ~1 GB sweep slab). The
+    caller must pre-fill the buffer with ``max_range_px`` (far rows are
+    never written) and must rebind its reference to the RETURNED array
+    (the input is donated).
 
     The output uses the Pallas kernel's native 512-byte-block layout
     directly: dims 2-3 are exactly one u8 packing tile, so downstream
@@ -223,9 +245,11 @@ def build_compact_range_lut_jax(
         else _group_bins(t_bins)
     )
 
-    out = jnp.full(
-        (k_rows + 1, row_stride // SPAN, 4, 128), max_range_px, jnp.uint8
-    )
+    if out is None:
+        out = jnp.full(
+            (k_rows + 1, row_stride // SPAN, 4, 128), max_range_px,
+            jnp.uint8,
+        )
     cells_j = jnp.asarray(row_cells, jnp.int32)
 
     @partial(jax.jit, static_argnums=(3, 4, 5))
@@ -260,25 +284,9 @@ def build_compact_range_lut_jax(
     # rows are written in chunks so each write's gather/relayout temps stay
     # a few hundred MB next to the multi-GB donated buffer; LUT row 0 (the
     # constant far row) is never written — the buffer is initialized to
-    # max_range_px
+    # max_range_px. _write_span is a module-level jit so repeated member
+    # builds of the same shape reuse one compiled program.
     row_chunk = 1 << 20
-    writers: dict[tuple, object] = {}
-
-    def writer(sig):
-        """sig: (n_pieces, rows_this_chunk) for one 512-bin span write."""
-        if sig not in writers:
-
-            @partial(jax.jit, donate_argnums=(0,))
-            def _write(buf, flats, cells_slice, span_idx, r0):
-                cols = [f[cells_slice] for f in flats]
-                vals = cols[0] if len(cols) == 1 else jnp.concatenate(cols, 1)
-                vals = vals.reshape(vals.shape[0], 1, 4, 128)
-                return jax.lax.dynamic_update_slice(
-                    buf, vals, (r0, span_idx, 0, 0)
-                )
-
-            writers[sig] = _write
-        return writers[sig]
 
     for c0 in range(0, row_stride, SPAN):
         # split this span into runs owned by one group each
@@ -314,8 +322,9 @@ def build_compact_range_lut_jax(
         span_idx = jnp.int32(c0 // SPAN)
         for r0 in range(0, k_rows, row_chunk):
             rc = min(row_chunk, k_rows - r0)
-            out = writer((len(flats), rc))(
-                out, flats, cells_j[r0 : r0 + rc], span_idx, jnp.int32(r0 + 1)
+            out = _write_span(
+                out, flats, cells_j[r0 : r0 + rc], span_idx,
+                jnp.int32(row_base + r0 + 1),
             )
         # serialize spans: async dispatch would keep every span's ~2 GB
         # sweep slab live at once next to the multi-GB buffer
