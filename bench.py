@@ -575,6 +575,92 @@ def bench_fleet(fleet_size, num_particles, num_beams, maps, method="lut",
     return _spread(dispatch_rates), _spread(chained_rates), info
 
 
+def bench_fleet_live(fleet_size, num_particles, num_beams, maps,
+                     method="lut_pallas", async_depth=4, duration_s=8.0,
+                     quick=False):
+    """Fleet corrections/s a LIVE fleet robot loop gets: wall-clock ticks
+    through ``FleetNode.update`` (per-member trackers, async pipeline,
+    one fused fleet dispatch per correction)."""
+    import jax.numpy as jnp
+
+    from monte_carlo_localization_tpu.config import MCLConfig
+    from monte_carlo_localization_tpu.ops.raycast import cast_rays_sphere
+    from monte_carlo_localization_tpu.parallel import stack_maps
+    from monte_carlo_localization_tpu.runtime import FleetNode
+
+    if quick:
+        duration_s = min(duration_s, 3.0)
+    beams = _beams(num_beams)
+    if not isinstance(maps, (list, tuple)):
+        maps = [maps]
+    bm = stack_maps(maps) if len(maps) > 1 else maps[0]
+    asg = np.arange(fleet_size, dtype=np.int32) % len(maps)
+    node = FleetNode(
+        bm,
+        fleet_size=fleet_size,
+        config=MCLConfig(
+            max_particles=num_particles, raycast_method=method,
+            angle_step=1, async_correction=True, async_depth=async_depth,
+        ),
+        map_assignment=asg if len(maps) > 1 else None,
+        rng_seed=0,
+    )
+    map_poses = [_nearest_free_pose(m, _center_pose(m)) for m in maps]
+    poses0 = np.stack([map_poses[a] for a in asg])
+    for m_i in range(fleet_size):
+        p = poses0[m_i]
+        q = np.stack(
+            [np.full(num_beams, p[0]), np.full(num_beams, p[1]),
+             p[2] + beams], 1,
+        ).astype(np.float32)
+        scan = np.asarray(
+            cast_rays_sphere(maps[asg[m_i]], jnp.asarray(q), num_iters=64)
+        )
+        node.on_scan(m_i, scan, beam_angles=beams)
+        node.on_odometry(m_i, *p, 0.0, 0.0, stamp=0.0)
+    node.initialize_pose(poses0)
+
+    # warm: tick until the first harvest (pays the jit compile)
+    t_warm0 = time.perf_counter()
+    while node.update() is None:
+        if time.perf_counter() - t_warm0 > 900.0:
+            raise RuntimeError("fleet live warmup never harvested")
+    harvested = 0
+    t0 = time.perf_counter()
+    last = None
+    while time.perf_counter() - t0 < duration_s:
+        got = node.update()
+        if got is not None:
+            last = got
+            harvested += 1
+    rate = harvested / (time.perf_counter() - t0)
+    assert last is not None and np.isfinite(last).all()
+    err = np.linalg.norm(last[:, :2] - poses0[:, :2], axis=1)
+    assert err.max() < 2.0, f"fleet live diverged: {err.max()}"
+    return rate
+
+
+def run_fleet_live(quick=False, method="lut_pallas"):
+    """Config #5's workload through the fleet ROBOT LOOP (FleetNode +
+    async pipeline) instead of the raw step API — the fleet live story
+    (VERDICT round-3 weak #6)."""
+    maps = [_load_real_map(y) for y in CONFIG_MAPS[5]]
+    fleet, particles, beams_n = 64, 4000, 60
+    rate = bench_fleet_live(
+        fleet, particles, beams_n, maps, method=method, quick=quick,
+    )
+    return dict(
+        metric="fleet_live_corrections_per_sec[config#5 workload through "
+               "FleetNode: 64 cars x 4000p over 4 maps, async depth 4]"
+               + ("[quick]" if quick else ""),
+        value=round(rate, 2),
+        unit="fleet-corrections/s",
+        vs_baseline=round(rate * fleet / NORTH_STAR_UPDATES_PER_SEC, 4),
+        member_corrections_per_sec=round(rate * fleet, 2),
+        method=method,
+    )
+
+
 def _giant_fleet_maps():
     """Two genuinely-distinct GIANT circuits at one resolution for the
     heterogeneous-compact-LUT fleet (VERDICT round-3 item 1). The fleet
@@ -833,6 +919,8 @@ def _child_args(args, method, cpu=False, cpu_note=None):
         argv.append("--kidnap-off")
     if getattr(args, "fleet_giant", False):
         argv.append("--fleet-giant")
+    if getattr(args, "fleet_live", False):
+        argv.append("--fleet-live")
     if getattr(args, "synthetic", False):
         argv.append("--synthetic")
     if getattr(args, "live", False):
@@ -1009,8 +1097,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "DISABLED (reference behavior: no recovery)")
     ap.add_argument("--fleet-giant", action="store_true",
                     help="heterogeneous fleet over GIANT maps: 16 cars x "
-                         "4000p over four 1300x1300 basement-class "
+                         "4000p over two 1300x1300 basement-class "
                          "circuits via per-member compact LUT blocks")
+    ap.add_argument("--fleet-live", action="store_true",
+                    help="config #5 workload through the fleet robot "
+                         "loop (FleetNode, per-member trackers, async "
+                         "pipeline): fleet corrections/s on the wall "
+                         "clock")
     ap.add_argument("--synthetic", action="store_true",
                     help="headline on the round-1 768^2 synthetic world "
                          "instead of the Spielberg reference map")
@@ -1072,6 +1165,9 @@ def main(argv=None) -> int:
         return 0
     if args.fleet_giant:
         _emit(run_fleet_giant(quick=args.quick, method=args.method))
+        return 0
+    if args.fleet_live:
+        _emit(run_fleet_live(quick=args.quick, method=args.method))
         return 0
     if args.live:
         for line in run_live(quick=args.quick, method=args.method):

@@ -4,6 +4,7 @@ from monte_carlo_localization_tpu.runtime.checkpoint import (
     save_fleet_state,
     save_state,
 )
+from monte_carlo_localization_tpu.runtime.fleet_node import FleetNode
 from monte_carlo_localization_tpu.runtime.loop import LiveRunner
 from monte_carlo_localization_tpu.runtime.node import MCLNode
 from monte_carlo_localization_tpu.runtime.sinks import (
@@ -27,6 +28,7 @@ from monte_carlo_localization_tpu.runtime.trace import (
 __all__ = [
     "OdometryTracker",
     "MCLNode",
+    "FleetNode",
     "LiveRunner",
     "Sink",
     "CallbackSink",
