@@ -955,10 +955,12 @@ def _run_with_watchdog(args) -> int:
         # per-config override (e.g. Spielberg's compact-LUT build needs
         # ~14 min the first time the remote compile cache is cold)
         timeout = max(timeout, CONFIGS[args.config].get("timeout", 0.0))
-    # On a timeout of the primary (Pallas) method, retry it ONCE before
-    # downgrading: the killed attempt usually leaves the remote compile
-    # service / persistent compilation cache warm, so the retry finishes
-    # in a minute instead of the cold ~14 min worst case.
+    # On a timeout OR failure of the primary (Pallas) method, retry it
+    # ONCE before downgrading: a killed attempt usually leaves the remote
+    # compile service / persistent compilation cache warm (the retry
+    # finishes in a minute instead of the cold ~14 min worst case), and a
+    # transient tunnel error ("response body closed", reset) is gone by
+    # the next process.
     attempts = [args.method]
     if args.method != "lut":
         attempts += [args.method, "lut"]
@@ -966,7 +968,7 @@ def _run_with_watchdog(args) -> int:
         # explicit --cpu request: skip the accelerator attempts entirely
         # and run the (still watchdogged) CPU child with an honest label
         attempts = []
-    retried_after_timeout = False
+    primary_attempted = False
     accelerator_dead = False
     for i, method in enumerate(attempts):
         if accelerator_dead:
@@ -974,9 +976,9 @@ def _run_with_watchdog(args) -> int:
         if (
             i == 1
             and attempts[1] == attempts[0]
-            and not retried_after_timeout
+            and not primary_attempted
         ):
-            continue  # only replay the primary method after a timeout
+            continue  # replay the primary only after a timeout/failure
         try:
             proc = subprocess.run(
                 _child_args(args, method),
@@ -990,7 +992,7 @@ def _run_with_watchdog(args) -> int:
                 f"# bench: method={method} timed out after {timeout}s",
                 file=sys.stderr,
             )
-            retried_after_timeout = True
+            primary_attempted = True
             # distinguish a slow compile from an unreachable accelerator
             # tunnel: a trivial device program must initialize + run well
             # inside 180 s even with a cold compile. If the probe hangs,
@@ -1015,6 +1017,7 @@ def _run_with_watchdog(args) -> int:
             + proc.stderr[-2000:],
             file=sys.stderr,
         )
+        primary_attempted = True  # a transient tunnel error earns one retry
         if method == "lut":
             break
     # Last resort: record SOMETHING honest rather than nothing. A dead
