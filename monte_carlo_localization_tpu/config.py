@@ -165,7 +165,13 @@ class MCLConfig:
     # kidnapped-robot recovery there is human-triggered via /clicked_point).
     # Augmented-MCL style monitor (Probabilistic Robotics §8.3): short- and
     # long-horizon EMAs of the per-correction measurement quality; a
-    # sustained collapse of fast/slow triggers a global re-init. ---
+    # sustained collapse of fast/slow triggers a global re-init.
+    # Default OFF — measured decision (BENCHES.md kidnap table, 2026-08-20):
+    # reference parity (recovery there is operator-triggered), and in
+    # symmetric corridors a triggered re-init can abandon a CORRECT lock.
+    # Flip ON for unattended operation: closed-loop recovery measured at
+    # 10/15 kidnaps, median 12.5 updates, zero false positives with these
+    # thresholds. ---
     auto_reinit: bool = False
     reinit_alpha_slow: float = 0.05  # long-horizon EMA rate (w_slow)
     reinit_alpha_fast: float = 0.40  # short-horizon EMA rate (w_fast)
