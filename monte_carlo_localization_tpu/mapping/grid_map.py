@@ -428,7 +428,11 @@ class GridMap:
                         "raycast_method='lut' or raise MCL_LUT_DENSE_MAX"
                     )
                 blocks.append(np.ascontiguousarray(lut_i).reshape(-1))
-            lut_leaf = jnp.asarray(np.concatenate(blocks))
+            # kernel-native (X, 2, 128) u16 subrow tile shape — see the
+            # with_compact_range_lut u16 branch for why (relayout-copy OOM)
+            lut_leaf = jnp.asarray(
+                np.concatenate(blocks).reshape(-1, 2, 128)
+            )
         return dataclasses.replace(
             self,
             range_lut=lut_leaf,
@@ -502,6 +506,14 @@ class GridMap:
                     "compact u16 range LUT needs the native builder (g++) — "
                     "unavailable; use raycast_method='lut' or a coarser map"
                 )
+            # upload in the Pallas kernel's subrow tile shape (X, 2, 128)
+            # — 256 u16 entries per 512 B subrow — exactly like the u8
+            # device builder's (rows, stride//512, 4, 128) layout. A flat
+            # (rows, stride) argument makes XLA materialize a full
+            # relayout COPY of the multi-GB LUT inside the program (the
+            # kernel views it (-1, 2, 128)): measured on basement@25.6 m
+            # as "program 10.48G + arguments 10.48G" -> HBM OOM.
+            lut = np.ascontiguousarray(lut).reshape(-1, 2, 128)
             return dataclasses.replace(
                 self,
                 range_lut=jnp.asarray(lut),

@@ -140,3 +140,60 @@ class TestCompactLutReplay:
             res.rmse_xy, res_sphere.rmse_xy,
         )
         assert res.rmse_theta < 0.10, res.rmse_theta
+
+    def test_compact_u16_lut_pallas_replay_tracks_truth(self, monkeypatch):
+        """The u16 (long-range) twin: max_range_px > 254 forces u16
+        entries, and MCL_LUT_DENSE_MAX=1 forces the compact path — i.e.
+        the NATIVE C++ compact builder + the (X, 2, 128) tile-shaped
+        upload (a flat upload makes XLA clone the multi-GB LUT in-program
+        on real maps; basement@25.6 m OOM'd HBM before the reshape). The
+        committed ``traces/u16_basement.npz`` runs this acceptance at
+        full scale on hardware (BENCHES.md)."""
+        from monte_carlo_localization_tpu.mapping import (
+            random_obstacle_world,
+        )
+        from monte_carlo_localization_tpu.native import (
+            native_build_compact_range_lut,
+        )
+        from monte_carlo_localization_tpu.runtime.trace import (
+            synthesize_trace,
+        )
+
+        if native_build_compact_range_lut(
+            np.zeros((4, 4), bool), 4, 300,
+            np.zeros(16, np.int32), 256, dtype=np.uint16,
+        ) is None:
+            pytest.skip("native builder unavailable (no g++)")
+
+        gm = random_obstacle_world(
+            height=300, width=300, num_obstacles=8, seed=6,
+            max_range_meters=15.0,  # 300 px at 0.05 m/px -> u16
+        )
+        assert gm.max_range_px > 254
+        trace = synthesize_trace(
+            gm, duration_s=6.0, num_beams=60, seed=4, speed=1.0
+        )
+        short = Trace(
+            odom_t=trace.odom_t,
+            odom_pose=trace.odom_pose,
+            odom_twist=trace.odom_twist,
+            scan_t=trace.scan_t[:40],
+            scan_ranges=trace.scan_ranges[:40],
+            beam_angles=trace.beam_angles,
+            truth_t=trace.truth_t,
+            truth_pose=trace.truth_pose,
+        )
+        monkeypatch.setenv("MCL_LUT_DENSE_MAX", "1")
+        cfg = MCLConfig(
+            max_particles=512, angle_step=1, raycast_method="lut_pallas"
+        )
+        node = MCLNode(gm, cfg, rng_seed=0)
+        node.initialize_pose(trace.truth_pose[0])
+        res = node.replay(short)
+        gmap = node.filter.grid_map
+        assert gmap.lut_row_map is not None, "compact path not engaged"
+        assert np.asarray(gmap.range_lut).dtype == np.uint16
+        # the tile-shaped upload (not a flat (rows, stride) buffer)
+        assert gmap.range_lut.shape[-2:] == (2, 128)
+        assert res.rmse_xy is not None and res.rmse_xy < 0.25, res.rmse_xy
+        assert res.rmse_theta < 0.10, res.rmse_theta
