@@ -157,6 +157,15 @@ class MCLConfig:
     # trading <= K-1 ticks of extra pose latency (the anchor's staleness
     # compensation measures and corrects the delay exactly). 1 = off.
     live_chunk: int = 1
+    # lax.scan unroll factor for the step_many chains. MEASURED NEUTRAL
+    # (PERF.md, 2026-08-20 v5e): an interleaved same-process A/B at the
+    # 4000x1080 headline gives 1860.8 / 1858.6 / 1887.1 updates/s for
+    # unroll 1/2/4 — the ~0.1 ms/update non-phase residual the ablation
+    # found is per-step-body XLA overhead (inter-kernel gaps around the
+    # Pallas call), not loop bookkeeping, so unrolling cannot remove it.
+    # Default 1 (unrolling only multiplies compile time); the knob stays
+    # for future hardware where the tradeoff may differ.
+    scan_unroll: int = 1
     dtype: str = "float32"
     seed: int = 0
 

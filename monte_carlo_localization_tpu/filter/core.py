@@ -428,7 +428,13 @@ class ParticleFilter:
                 s2, pose = step_fn(s, a, o, beams, gmap, sensor)
                 return s2, pose
 
-            return jax.lax.scan(body, state, (actions, scans))
+            # unroll amortizes the scan loop's ~0.1 ms/iteration overhead
+            # — the largest non-kernel cost at the headline shape (see
+            # MCLConfig.scan_unroll)
+            return jax.lax.scan(
+                body, state, (actions, scans),
+                unroll=max(1, cfg.scan_unroll),
+            )
 
         self._step_many = jax.jit(steps_fn, donate_argnums=(0,))
 

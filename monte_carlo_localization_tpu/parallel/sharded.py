@@ -281,7 +281,12 @@ class ShardedParticleFilter:
                 s2, pose = step(s, a, o, beams, gmap, sensor)
                 return s2, pose
 
-            return jax.lax.scan(body, state, (actions, scans))
+            # same scan-loop-overhead amortization as the single filter
+            # (MCLConfig.scan_unroll)
+            return jax.lax.scan(
+                body, state, (actions, scans),
+                unroll=max(1, self.config.scan_unroll),
+            )
 
         self._step_many = jax.jit(steps_fn, donate_argnums=(0,))
 

@@ -38,6 +38,11 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--map", default="Spielberg_map.yaml")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--unroll", type=int, default=0, metavar="U",
+                    help="instead of the phase ablation, sweep the FULL "
+                         "step at lax.scan unroll factors 1..U (the "
+                         "~0.1 ms/update scan-iteration overhead is the "
+                         "largest non-kernel item at the headline shape)")
     args = ap.parse_args()
 
     import jax
@@ -77,8 +82,11 @@ def main() -> int:
 
     disp = (0.05, 0.025, 0.25)
 
-    def make_step(do_resample, do_motion, do_likelihood, do_pose):
-        def step(state, action, obs):
+    def make_step(do_resample, do_motion, do_likelihood, do_pose,
+                  unroll=1):
+        # the map rides as a jit ARGUMENT (captured constants re-embed the
+        # multi-GB LUT into the program — the same rule mcl_step follows)
+        def step(state, action, obs, gmap):
             key, k_res, k_mot = jax.random.split(state.key, 3)
             if do_resample:
                 idx = resample_indices(k_res, state.log_weights,
@@ -94,8 +102,8 @@ def main() -> int:
                 )
             if do_likelihood:
                 obs_px = sensor.to_pixel_index(obs).astype(jnp.float32)
-                log_w = query(gm.range_lut, proposal, obs_px,
-                              row_map=gm.lut_row_map)
+                log_w = query(gmap.range_lut, proposal, obs_px,
+                              row_map=gmap.lut_row_map)
             else:
                 # shape-preserving surrogate keeping a data dependency
                 log_w = state.log_weights * 0.999 + proposal[:, 0] * 1e-6
@@ -110,22 +118,30 @@ def main() -> int:
                           log_quality=log_q.astype(jnp.float32))
             return st, pose
 
-        def steps(state, actions, scans):
+        def steps(state, actions, scans, gmap):
             def body(s, inp):
                 a, o = inp
-                return step(s, a, o)
-            return jax.lax.scan(body, state, (actions, scans))
+                return step(s, a, o, gmap)
+            return jax.lax.scan(body, state, (actions, scans),
+                                unroll=unroll)
 
         return jax.jit(steps, donate_argnums=(0,))
 
-    variants = {
-        "full": (True, True, True, True),
-        "no_pose": (True, True, True, False),
-        "no_resample": (False, True, True, True),
-        "no_motion": (True, False, True, True),
-        "kernel_only": (False, False, True, False),
-        "no_kernel": (True, True, False, True),
-    }
+    if args.unroll > 0:
+        u = 1
+        variants = {}
+        while u <= args.unroll:
+            variants[f"full_unroll{u}"] = (True, True, True, True, u)
+            u *= 2
+    else:
+        variants = {
+            "full": (True, True, True, True),
+            "no_pose": (True, True, True, False),
+            "no_resample": (False, True, True, True),
+            "no_motion": (True, False, True, True),
+            "kernel_only": (False, False, True, False),
+            "no_kernel": (True, True, False, True),
+        }
 
     from monte_carlo_localization_tpu.filter.init import initialize_pose
 
@@ -140,13 +156,13 @@ def main() -> int:
         k1, key = jax.random.split(key)
         particles, logw = initialize_pose(k1, pose0, n)
         state = MCLState(particles=particles, log_weights=logw, key=key)
-        state, poses = fn(state, actions, scans)  # compile + warm
+        state, poses = fn(state, actions, scans, gm)  # compile + warm
         jax.block_until_ready(poses)
         rates = []
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(args.reps):
-                state, poses = fn(state, actions, scans)
+                state, poses = fn(state, actions, scans, gm)
             jax.block_until_ready(poses)
             rates.append(
                 args.reps * args.chain / (time.perf_counter() - t0)
@@ -157,6 +173,8 @@ def main() -> int:
               f"{1e3 / med:7.4f} ms/update   (min {min(rates):.1f}, "
               f"max {max(rates):.1f})")
 
+    if args.unroll > 0:
+        return 0
     full_ms = 1e3 / results["full"]
     print("\nmarginal costs inside the fused chained step:")
     for name in ("no_pose", "no_resample", "no_motion", "no_kernel"):
