@@ -250,6 +250,24 @@ def build_compact_range_lut_jax(
             (k_rows + 1, row_stride // SPAN, 4, 128), max_range_px,
             jnp.uint8,
         )
+    else:
+        # lax.dynamic_update_slice CLAMPS out-of-bounds starts, so a
+        # miscomputed member base would silently overwrite the previous
+        # member's rows instead of erroring — validate up front
+        if row_base < 0 or row_base + k_rows + 1 > out.shape[0]:
+            raise ValueError(
+                f"member LUT block [{row_base}, {row_base + k_rows + 1}) "
+                f"exceeds the donated buffer's {out.shape[0]} rows"
+            )
+        if out.shape[1:] != (row_stride // SPAN, 4, 128):
+            raise ValueError(
+                f"donated buffer tile shape {out.shape[1:]} != "
+                f"({row_stride // SPAN}, 4, 128) for row_stride {row_stride}"
+            )
+        if out.dtype != jnp.uint8:
+            raise ValueError(
+                f"donated buffer dtype {out.dtype} != uint8"
+            )
     cells_j = jnp.asarray(row_cells, jnp.int32)
 
     @partial(jax.jit, static_argnums=(3, 4, 5))

@@ -89,7 +89,12 @@ class FleetNode:
         self.sinks: list[Sink] = []
         self.iters = 0
         self.lidar_initialized = False
-        self._scans: np.ndarray | None = None  # (F, R) latest per member
+        # latest FULL row per member, swapped by reference (never written
+        # in place): an ingest thread racing update() can then never tear
+        # a row across two scans — update() snapshots the list and stacks
+        self._scan_rows: list[np.ndarray | None] = [None] * self.fleet_size
+        self._num_beams_down = 0
+        self._beam_sig: tuple[float, float, int] | None = None
         self._have_scan = np.zeros(self.fleet_size, bool)
         self._odom_seen = np.zeros(self.fleet_size, bool)
         self._last_update_time: float | None = None
@@ -108,7 +113,11 @@ class FleetNode:
     ) -> None:
         """Latest scan for one member. The FIRST scan (any member) derives
         the shared beam set — the fleet kernel is compiled for one lidar
-        model, so every member's scan must share the geometry."""
+        model (reference src/particle_filter.cpp:297-313 derives beams once
+        for the one car), so every member's scan MUST share the geometry;
+        a member presenting a different angle_min/increment/beam count
+        raises immediately instead of silently scoring its scan against
+        the wrong beam angles."""
         ranges = np.asarray(ranges, dtype=np.float32)
         if not self.lidar_initialized:
             if beam_angles is None:
@@ -119,26 +128,71 @@ class FleetNode:
                 beam_angles = (
                     angle_min + np.arange(len(ranges)) * angle_increment
                 )
-            down = np.asarray(beam_angles, np.float32)[
-                :: self.config.angle_step
-            ]
+            beam_angles = np.asarray(beam_angles, np.float32)
+            down = beam_angles[:: self.config.angle_step]
             self.filter.set_beam_angles(down)
             self.lidar_initialized = True
-            self._scans = np.zeros(
-                (self.fleet_size, len(down)), np.float32
+            self._num_beams_down = len(down)
+            self._beam_sig = (
+                float(beam_angles[0]),
+                float(beam_angles[1] - beam_angles[0])
+                if len(beam_angles) > 1
+                else 0.0,
+                len(beam_angles),
             )
             self.log(
                 f"Fleet LiDAR initialized - {len(down)} angles x "
                 f"{self.fleet_size} members"
             )
+        else:
+            self._check_beam_geometry(
+                member, len(ranges), angle_min, angle_increment, beam_angles
+            )
         down_r = ranges[:: self.config.angle_step]
-        if down_r.shape[0] != self._scans.shape[1]:
+        if down_r.shape[0] != self._num_beams_down:
             raise ValueError(
                 f"member {member} scan has {down_r.shape[0]} beams, fleet "
-                f"expects {self._scans.shape[1]}"
+                f"expects {self._num_beams_down}"
             )
-        self._scans[member] = down_r
+        # reference swap — never write into a row update() may be reading
+        self._scan_rows[member] = np.ascontiguousarray(down_r)
         self._have_scan[member] = True
+
+    def _check_beam_geometry(
+        self,
+        member: int,
+        num_ranges: int,
+        angle_min: float | None,
+        angle_increment: float | None,
+        beam_angles: np.ndarray | None,
+    ) -> None:
+        """Fail fast on a heterogeneous lidar: the fleet kernel's beam set
+        is compiled once from the first scan."""
+        sig = self._beam_sig
+        if sig is None:
+            return
+        a0, inc, n = sig
+        if num_ranges != n:
+            raise ValueError(
+                f"member {member} lidar has {num_ranges} beams; the fleet "
+                f"kernel was compiled for {n} — heterogeneous beam sets "
+                "are unsupported (one FleetNode = one lidar model)"
+            )
+        if beam_angles is not None:
+            ba = np.asarray(beam_angles, np.float64)
+            got0 = float(ba[0])
+            got_inc = float(ba[1] - ba[0]) if len(ba) > 1 else 0.0
+        elif angle_min is not None and angle_increment is not None:
+            got0, got_inc = float(angle_min), float(angle_increment)
+        else:
+            return  # caller sent ranges only: geometry asserted implicitly
+        if abs(got0 - a0) > 1e-6 or abs(got_inc - inc) > 1e-9:
+            raise ValueError(
+                f"member {member} lidar geometry (angle_min {got0:.6f}, "
+                f"increment {got_inc:.9f}) differs from the compiled beam "
+                f"set (angle_min {a0:.6f}, increment {inc:.9f}) — "
+                "heterogeneous beam sets are unsupported in one FleetNode"
+            )
 
     def on_odometry(
         self,
@@ -198,6 +252,9 @@ class FleetNode:
             return None
 
         self.iters += 1
+        # snapshot the row references BEFORE building the batch: ingest
+        # threads swap whole rows, so every stacked row is one coherent scan
+        scans = np.stack(list(self._scan_rows))
         actions = np.zeros((self.fleet_size, 3), np.float32)
         if dt >= 1e-4:
             for m, tr in enumerate(self.trackers):
@@ -210,11 +267,11 @@ class FleetNode:
                     actions[m, 2] = snap.angular_velocity * dt
 
         if self.config.async_correction:
-            return self._update_async(actions, now)
+            return self._update_async(actions, scans, now)
 
         t0 = time.perf_counter()
         self.state, poses_dev = self.filter.step(
-            self.state, actions, self._scans
+            self.state, actions, scans
         )
         poses = np.asarray(
             jax.block_until_ready(poses_dev), dtype=np.float64
@@ -224,7 +281,9 @@ class FleetNode:
         self._post_correction(poses)
         return poses
 
-    def _update_async(self, actions, now: float) -> np.ndarray | None:
+    def _update_async(
+        self, actions, scans: np.ndarray, now: float
+    ) -> np.ndarray | None:
         """Pipelined fleet corrections (depth ``async_depth``), the fleet
         twin of MCLNode._update_async minus chunking."""
         if len(self._inflight_q) < self.config.async_depth:
@@ -241,7 +300,7 @@ class FleetNode:
                         )
             self._last_dispatch_mono = t_mono
             self.state, poses_dev = self.filter.step(
-                self.state, actions, self._scans
+                self.state, actions, scans
             )
             try:
                 poses_dev.copy_to_host_async()

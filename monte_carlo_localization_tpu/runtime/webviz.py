@@ -224,7 +224,8 @@ class WebViz:
         state = node.state  # snapshot the reference once
         try:
             pose = np.asarray(node.current_pose())[:3]
-        except Exception:
+        except RuntimeError as e:
+            self._check_deleted_buffer(e)
             pose = self._last_pose
         else:
             self._last_pose = pose
@@ -232,8 +233,8 @@ class WebViz:
         if state is not None:
             try:
                 log_q = float(node.filter.log_quality(state))
-            except Exception:
-                pass
+            except RuntimeError as e:
+                self._check_deleted_buffer(e)
             else:
                 self._last_log_q = log_q
         return dict(
@@ -241,6 +242,19 @@ class WebViz:
             iters=int(node.iters),
             log_quality=log_q,
         )
+
+    @staticmethod
+    def _check_deleted_buffer(e: RuntimeError) -> None:
+        """Re-raise a RuntimeError that is NOT the donated-buffer race.
+
+        The live loop donates the state into the next dispatch, so a
+        monitoring thread touching ``state.particles`` can legitimately see
+        jax's deleted/donated-array error — that one is survivable (serve
+        the last-known value). Anything else is a genuine bug and must not
+        be masked behind stale monitoring output."""
+        msg = str(e).lower()
+        if "delete" not in msg and "donat" not in msg:
+            raise e
 
     def _render(self) -> bytes:
         now = time.monotonic()
@@ -256,11 +270,12 @@ class WebViz:
                 try:
                     particles = np.asarray(state.particles)
                     weights = np.asarray(state.weights())
-                except Exception:
+                except RuntimeError as e:
                     # the live loop DONATES the state buffer into the next
                     # dispatch; between dispatch and reassignment the old
                     # array can already be deleted — serve the previous
                     # frame instead of 500ing the viewer
+                    self._check_deleted_buffer(e)
                     if self._frame_png:
                         return self._frame_png
                     particles = weights = None
@@ -271,9 +286,10 @@ class WebViz:
                     particles, weights = particles[idx], weights[idx]
             try:
                 pose = node.current_pose()
-            except Exception:
+            except RuntimeError as e:
                 # current_pose reads state.particles — same donated-buffer
                 # race as above
+                self._check_deleted_buffer(e)
                 pose = None
             if pose is not None:
                 self._trajectory.append(np.asarray(pose, np.float64))
