@@ -277,10 +277,11 @@ def bench_convergence(num_particles, num_beams, gm, method="lut_pallas",
 
 
 def bench_kidnap(num_particles, num_beams, gm, method="lut_pallas",
-                 trials=20, auto_reinit=True, converge_updates=60,
-                 recover_updates=220, tol_m=0.5, quick=False):
+                 trials=20, auto_reinit=True, reinit_mode="reinit",
+                 converge_updates=60, recover_updates=220, tol_m=0.5,
+                 quick=False, eligible_target=None):
     """Closed-loop kidnapped-robot recovery with the Augmented-MCL monitor
-    IN the loop (VERDICT round-3 item 2).
+    IN the loop (VERDICT round-3 item 2; three-arm design round 5).
 
     Each trial drives a real :class:`MCLNode` per correction (sync
     dispatch, so the w_fast/w_slow quality monitor sees every step):
@@ -290,15 +291,27 @@ def bench_kidnap(num_particles, num_beams, gm, method="lut_pallas",
        stream switches to B's geometry with no odometry displacement);
     3. measure updates until the pose estimate lands within ``tol_m`` of
        B. With ``auto_reinit`` the monitor detects the sustained quality
-       collapse and triggers a global re-initialization; without it the
-       filter stays locked at A (motion noise alone cannot carry 100k
-       particles across the map), which is exactly the reference's
-       behavior — there recovery is human-triggered via /clicked_point
-       (reference src/particle_filter.cpp:376-379).
+       collapse and recovers per ``reinit_mode``: ``"reinit"`` triggers a
+       full global re-initialization; ``"inject"`` (true Augmented MCL,
+       Probabilistic Robotics §8.3) continuously replaces a
+       max(0, 1 − w_fast/w_slow) fraction of particles with uniform
+       free-space draws. Without the monitor the filter stays locked at A
+       (motion noise alone cannot carry 100k particles across the map),
+       which is exactly the reference's behavior — there recovery is
+       human-triggered via /clicked_point (reference
+       src/particle_filter.cpp:376-379).
+
+    With ``eligible_target`` set, trials keep running (up to
+    2 × eligible_target) until that many trials pass phase-1 convergence —
+    the round-4 table's thin n=15/n=2 arms are the reason. The trial-i
+    pose pair is a pure function of i (one fixed-seed generator), so
+    trial indices align ACROSS arms and per-trial cross-arm comparison
+    (e.g. "which arm recovers the mirror lock-ins") is meaningful.
 
     Returns (recovery_rate, med_recover_updates, per_trial) where each
     trial dict records phase-1 convergence, recovery updates, and how
-    many auto re-inits fired.
+    many auto re-inits fired (or injecting corrections for the inject
+    arm).
     """
     import jax.numpy as jnp
 
@@ -308,6 +321,7 @@ def bench_kidnap(num_particles, num_beams, gm, method="lut_pallas",
 
     if quick:
         trials, recover_updates = 2, 120
+        eligible_target = None
     beams = _beams(num_beams)
     rng = np.random.default_rng(7)
     free = np.asarray(gm.free_cells[: int(gm.num_free)])
@@ -332,13 +346,17 @@ def bench_kidnap(num_particles, num_beams, gm, method="lut_pallas",
 
     cfg = MCLConfig(
         max_particles=num_particles, raycast_method=method,
-        auto_reinit=auto_reinit,
+        auto_reinit=auto_reinit, reinit_mode=reinit_mode,
         # scans are synthesized ALREADY at num_beams; the default
         # angle_step=18 would re-stride them down to ~num_beams/18 beams
         angle_step=1,
     )
     per_trial = []
-    for trial in range(trials):
+    eligible_n = 0
+    max_trials = trials if eligible_target is None else 2 * eligible_target
+    for trial in range(max_trials):
+        if eligible_target is not None and eligible_n >= eligible_target:
+            break
         node = MCLNode(gm, cfg, rng_seed=100 + trial)
         node.delay_compensation_enabled = False
         pose_a, pose_b = rand_pose(), rand_pose()
@@ -365,8 +383,10 @@ def bench_kidnap(num_particles, num_beams, gm, method="lut_pallas",
                 if u >= 30:  # past reinit_min_iters: the monitor is armed
                     break
         reinits_before = node.auto_reinits
+        injects_before = node.inject_steps
         recovered_at = None
         if converged_at is not None:
+            eligible_n += 1
             node.on_scan(scan_b, beam_angles=beams)  # the kidnap event
             for u in range(1, recover_updates + 1):
                 t += 0.05
@@ -377,8 +397,10 @@ def bench_kidnap(num_particles, num_beams, gm, method="lut_pallas",
                     recovered_at = u
                     break
         per_trial.append(dict(
+            trial=trial,
             converged=converged_at, recovered=recovered_at,
             auto_reinits=node.auto_reinits - reinits_before,
+            inject_steps=node.inject_steps - injects_before,
         ))
 
     eligible = [tr for tr in per_trial if tr["converged"] is not None]
@@ -837,29 +859,51 @@ def run_converge(quick=False, method="lut_pallas"):
     )
 
 
-def run_kidnap(quick=False, method="lut_pallas", monitor=True):
+def run_kidnap(quick=False, method="lut_pallas", monitor=True,
+               arms=("inject", "reinit", "off")):
     """Kidnapped-robot CLOSED LOOP on basement_fixed: converge -> teleport
-    -> (monitor detects quality collapse -> global re-init) -> reconverge.
-    ``vs_baseline`` carries the recovery rate. ``--kidnap-off`` measures
-    the same protocol with the monitor disabled (the reference's behavior:
-    recovery only via human /clicked_point)."""
+    -> recover -> reconverge, as a THREE-ARM comparison (VERDICT round-4
+    item 2): ``inject`` (true Augmented-MCL partial injection), ``reinit``
+    (full global re-init on sustained collapse), ``off`` (reference
+    behavior: recovery only via human /clicked_point). Each arm runs
+    until >= 20 phase-1-eligible trials; trial indices share pose pairs
+    across arms, so per-trial cross-arm comparison is meaningful.
+    ``vs_baseline`` carries the recovery rate. ``monitor=False``
+    (``--kidnap-off``) runs only the off arm."""
     gm = _load_real_map(CONFIG_MAPS[4])
-    trials = 4 if monitor is False else 20
-    rate, med_u, per_trial = bench_kidnap(
-        100_000, 60, gm, method=method, trials=trials,
-        auto_reinit=monitor, quick=quick,
-    )
-    tag = "auto_reinit=on" if monitor else "auto_reinit=OFF (reference behavior)"
-    return dict(
-        metric=f"kidnap_recovery[basement_fixed, 100k particles, {tag}]"
-               + ("[quick]" if quick else ""),
-        value=med_u if med_u is not None else -1.0,
-        unit="updates-to-recover",
-        vs_baseline=rate,
-        recovery_rate=rate,
-        trials=per_trial,
-        method=method,
-    )
+    if not monitor:
+        arms = ("off",)
+    target = 2 if quick else 20
+    out = []
+    for arm in arms:
+        rate, med_u, per_trial = bench_kidnap(
+            100_000, 60, gm, method=method,
+            trials=(2 if quick else 40),
+            auto_reinit=arm != "off",
+            reinit_mode=arm if arm != "off" else "reinit",
+            quick=quick,
+            eligible_target=None if quick else target,
+        )
+        tag = {
+            "inject": "augmented-MCL injection",
+            "reinit": "full re-init",
+            "off": "monitor OFF (reference behavior)",
+        }[arm]
+        out.append(dict(
+            metric=f"kidnap_recovery[basement_fixed, 100k particles, {tag}]"
+                   + ("[quick]" if quick else ""),
+            value=med_u if med_u is not None else -1.0,
+            unit="updates-to-recover",
+            vs_baseline=rate,
+            recovery_rate=rate,
+            arm=arm,
+            eligible=sum(
+                1 for tr in per_trial if tr["converged"] is not None
+            ),
+            trials=per_trial,
+            method=method,
+        ))
+    return out
 
 
 def run_live(quick=False, method="lut_pallas"):
@@ -1112,8 +1156,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "time/updates to converge + success rate")
     ap.add_argument("--kidnap", action="store_true",
                     help="closed-loop kidnapped-robot recovery through "
-                         "MCLNode with the Augmented-MCL auto-reinit "
-                         "monitor ON (20 trials)")
+                         "MCLNode, THREE arms (Augmented-MCL injection / "
+                         "full re-init / monitor off), >=20 eligible "
+                         "trials per arm")
     ap.add_argument("--kidnap-off", action="store_true",
                     help="the same kidnap protocol with the monitor "
                          "DISABLED (reference behavior: no recovery)")
@@ -1182,8 +1227,9 @@ def main(argv=None) -> int:
         _emit(run_converge(quick=args.quick, method=args.method))
         return 0
     if args.kidnap or args.kidnap_off:
-        _emit(run_kidnap(quick=args.quick, method=args.method,
-                         monitor=not args.kidnap_off))
+        for line in run_kidnap(quick=args.quick, method=args.method,
+                               monitor=not args.kidnap_off):
+            _emit(line)
         return 0
     if args.fleet_giant:
         _emit(run_fleet_giant(quick=args.quick, method=args.method))

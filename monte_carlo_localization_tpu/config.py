@@ -182,12 +182,28 @@ class MCLConfig:
     # 10/15 kidnaps, median 12.5 updates, zero false positives with these
     # thresholds. ---
     auto_reinit: bool = False
+    # recovery action once the monitor fires: "reinit" = full global
+    # re-initialization (all-or-nothing — measured 10/15 kidnap recovery
+    # but 2/15 re-locks into a mirrored mode it can never escape and false
+    # alarms abandon a CORRECT track); "inject" = true Augmented MCL
+    # (Probabilistic Robotics §8.3): replace a max(0, 1 - w_fast/w_slow)
+    # fraction of particles with uniform free-space draws EACH correction
+    # — preserves the current track on false alarms and continuously seeds
+    # escape hypotheses in symmetric environments (the mirrored-mode
+    # class full re-init cannot fix). See BENCHES.md kidnap table.
+    reinit_mode: str = "reinit"
     reinit_alpha_slow: float = 0.05  # long-horizon EMA rate (w_slow)
     reinit_alpha_fast: float = 0.40  # short-horizon EMA rate (w_fast)
     reinit_ratio_threshold: float = 0.25  # trigger when w_fast/w_slow stays below
     reinit_patience: int = 10  # consecutive bad corrections before re-init
     reinit_min_iters: int = 30  # corrections before the monitor arms
     reinit_cooldown: int = 50  # corrections to hold off after a re-init
+    # "inject" mode: fraction = clip(gain * (1 - w_fast/w_slow), 0, max).
+    # The cap keeps a sudden quality collapse from wiping the whole
+    # posterior in one step (recovery needs a few corrections of evidence
+    # accumulation either way); the gain scales the textbook fraction.
+    reinit_inject_max: float = 0.3
+    reinit_inject_gain: float = 1.0
 
     # --- map (from the map_server section / launch arg) ---
     map_name: str = "sibal1"

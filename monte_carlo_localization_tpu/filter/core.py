@@ -129,14 +129,30 @@ def mcl_step(
     motion_dispersion: tuple[float, float, float] = (0.05, 0.025, 0.25),
     exact_dt_heuristic: bool = True,
     likelihood_fn=None,
+    inject_fraction=None,
 ) -> tuple[MCLState, jnp.ndarray]:
     """One full MCL correction. Returns (new_state, inferred_pose).
 
     Mirrors the reference MCL() phase order exactly (resample from the OLD
     weights, then motion, then sensor; the returned pose is computed from
     the NEW particles and NEW weights, reference :777-778).
+
+    ``inject_fraction`` (Augmented MCL, Probabilistic Robotics §8.3; the
+    reference README:66-69 describes auto re-localization aspirationally
+    but ships none): a traced scalar in [0, 1] — each particle is replaced
+    by a fresh uniform free-space draw with that probability, AFTER motion
+    and BEFORE the likelihood (the injected hypotheses are scored by the
+    current scan in the same correction). The static ``None`` default
+    compiles the injection code out entirely, keeping the default step
+    bitwise identical (the extra RNG splits would otherwise shift every
+    downstream stream).
     """
-    key, k_resample, k_motion = jax.random.split(state.key, 3)
+    if inject_fraction is None:
+        key, k_resample, k_motion = jax.random.split(state.key, 3)
+    else:
+        key, k_resample, k_motion, k_inj, k_mask = jax.random.split(
+            state.key, 5
+        )
 
     # NOTE: the gather-free scatter+scan materialization
     # (ops.resample.resample_rows) was measured SLOWER here at N=100k
@@ -155,6 +171,14 @@ def mcl_step(
         dispersion_theta=motion_dispersion[2],
         exact_dt_heuristic=exact_dt_heuristic,
     )
+
+    if inject_fraction is not None:
+        n = proposal.shape[0]
+        injected, _ = initialize_global(
+            k_inj, grid_map, n, dtype=proposal.dtype
+        )
+        replace = jax.random.uniform(k_mask, (n,)) < inject_fraction
+        proposal = jnp.where(replace[:, None], injected, proposal)
 
     if likelihood_fn is not None:
         # custom fused likelihood (e.g. the Pallas LUT kernel); the map is
@@ -345,6 +369,10 @@ class ParticleFilter:
             raise ValueError(
                 f"Unknown sensor model mode: {self.config.sensor_model_mode!r}"
             )
+        if self.config.reinit_mode not in ("reinit", "inject"):
+            raise ValueError(
+                f"Unknown reinit mode: {self.config.reinit_mode!r}"
+            )
         if self.config.raycast_method == "lut":
             grid_map = grid_map.with_range_lut(self.config.lut_theta_bins)
         # lut_pallas attaches its LUT in set_beam_angles: the kernel needs
@@ -422,6 +450,17 @@ class ParticleFilter:
         )
         self._step = jax.jit(step_fn, donate_argnums=(0,))
 
+        # Augmented-MCL twin of _step with a traced injection fraction —
+        # a SEPARATE jit (traced lazily, costs nothing unless used) so the
+        # default step stays bitwise identical (see mcl_step's note)
+        def step_inject_fn(state, action, obs, beams, gmap, sensor, frac):
+            return step_fn(
+                state, action, obs, beams, gmap, sensor,
+                inject_fraction=frac,
+            )
+
+        self._step_inject = jax.jit(step_inject_fn, donate_argnums=(0,))
+
         def steps_fn(state, actions, scans, beams, gmap, sensor):
             def body(s, inp):
                 a, o = inp
@@ -461,12 +500,17 @@ class ParticleFilter:
         return MCLState(particles=particles, log_weights=log_w, key=key)
 
     def step(
-        self, state: MCLState, action, observed_m
+        self, state: MCLState, action, observed_m, inject_fraction=None
     ) -> tuple[MCLState, jnp.ndarray]:
-        """One MCL correction (async dispatch; block on the pose if needed)."""
+        """One MCL correction (async dispatch; block on the pose if needed).
+
+        ``inject_fraction``: optional Augmented-MCL random-particle
+        injection probability for THIS correction (a traced scalar — no
+        recompile when it changes); ``None`` runs the plain step.
+        """
         if self.beam_angles is None:
             raise RuntimeError("beam_angles not set — call set_beam_angles() first")
-        return self._step(
+        args = (
             state,
             jnp.asarray(action, dtype=jnp.float32),
             jnp.asarray(observed_m, dtype=jnp.float32),
@@ -474,6 +518,9 @@ class ParticleFilter:
             self.grid_map,
             self.sensor,
         )
+        if inject_fraction is None:
+            return self._step(*args)
+        return self._step_inject(*args, jnp.float32(inject_fraction))
 
     def log_quality(self, state: MCLState) -> float:
         """log mean (squashed) measurement likelihood of the latest

@@ -123,6 +123,13 @@ class MCLNode:
         self._bad_count = 0
         self._reinit_holdoff = 0
         self.auto_reinits = 0
+        # "inject" mode (true Augmented MCL): the fraction of particles the
+        # NEXT correction replaces with uniform free-space draws, refreshed
+        # by the monitor after every harvested correction; inject_steps
+        # counts corrections that actually injected (the bench's analogue
+        # of auto_reinits for this mode)
+        self._inject_fraction = 0.0
+        self.inject_steps = 0
 
         # Cross-thread re-initialization requests (webviz POST handlers run
         # on HTTP threads while the live loop steps `self.state` — a direct
@@ -191,6 +198,7 @@ class MCLNode:
         self.state = self.filter.init_pose(pose, seed=int(self.rng.integers(2**31)))
         self.tracker.anchor(np.asarray(pose, dtype=np.float64), from_seed=True)
         self.inferred_pose = np.asarray(pose, dtype=np.float64)
+        self._inject_fraction = 0.0  # a fresh belief starts clean
         self.log(f"Pose initialized at {np.round(pose, 3)}")
 
     def initialize_global(self) -> None:
@@ -198,6 +206,7 @@ class MCLNode:
         self.state = self.filter.init_global(seed=int(self.rng.integers(2**31)))
         self.tracker.deactivate()
         self.inferred_pose = None
+        self._inject_fraction = 0.0
         self.log("Global initialization")
 
     # ----- cross-thread re-init requests (webviz / any non-loop thread) --
@@ -264,9 +273,7 @@ class MCLNode:
             return self._update_async(action, now)
 
         with Stopwatch(self.stats, "total_mcl_time"):
-            self.state, pose_dev = self.filter.step(
-                self.state, action, self.downsampled_ranges
-            )
+            self.state, pose_dev = self._step_filter(action)
             pose = np.asarray(jax.block_until_ready(pose_dev), dtype=np.float64)
         self.stats.measurement_count += 1
         self._post_correction(pose)
@@ -312,12 +319,29 @@ class MCLNode:
                 )
             self._last_dispatch_mono = t_mono
             # (update() already counted this tick in self.iters)
-            self.state, pose_dev = self.filter.step(
-                self.state, action, self.downsampled_ranges
-            )
+            self.state, pose_dev = self._step_filter(action)
             self._enqueue_dispatch(pose_dev, t_mono, 1)
 
         return self._harvest_inflight(now)
+
+    def _step_filter(self, action):
+        """One filter correction, carrying the Augmented-MCL injection
+        fraction when ``reinit_mode == "inject"`` is active. The fraction
+        is a traced scalar — passing a new value each correction never
+        recompiles; the kwarg is omitted entirely otherwise (duck-typed
+        test filters and the bitwise-pinned default path both expect the
+        plain signature)."""
+        cfg = self.config
+        if cfg.auto_reinit and cfg.reinit_mode == "inject":
+            if self._inject_fraction > 0.0:
+                self.inject_steps += 1
+            return self.filter.step(
+                self.state, action, self.downsampled_ranges,
+                inject_fraction=self._inject_fraction,
+            )
+        return self.filter.step(
+            self.state, action, self.downsampled_ranges
+        )
 
     def _enqueue_dispatch(self, pose_dev, t_mono: float, count: int) -> None:
         """Queue one just-dispatched correction (or K-chunk) for harvest.
@@ -353,6 +377,12 @@ class MCLNode:
         sum — the same small-increment composition the plain async path
         uses for polled ticks; the older scan drops), so odometry
         displacement is never lost and the buffer stays bounded at 2K.
+
+        Augmented-MCL injection (``reinit_mode="inject"``) does not apply
+        on this path: the chunk dispatches through ``step_many``, whose
+        scan body carries no per-step fraction — use ``live_chunk=1`` when
+        continuous injection matters (a chunked loop still recovers via
+        ``reinit_mode="reinit"``).
         """
         K = int(self.config.live_chunk)
         if self.downsampled_ranges is not None:
@@ -516,11 +546,21 @@ class MCLNode:
 
     # ----- auto re-localization (Augmented MCL w_fast/w_slow monitor) -----
     def _update_reinit_monitor(self, q: float) -> None:
-        """Track short/long EMAs of the log measurement quality; a sustained
-        collapse of the fast average below ``reinit_ratio_threshold`` × the
-        slow average (compared in log space — the quantities underflow
-        linear space at 1080 beams) triggers a global re-initialization,
-        the automatic analogue of the reference's /clicked_point recovery."""
+        """Track short/long EMAs of the log measurement quality (compared
+        in log space — the quantities underflow linear space at 1080
+        beams). Two recovery modes (``config.reinit_mode``):
+
+        * ``"reinit"``: a sustained collapse of the fast average below
+          ``reinit_ratio_threshold`` × the slow average triggers a full
+          global re-initialization — the automatic analogue of the
+          reference's /clicked_point recovery (reference :376-379).
+        * ``"inject"``: true Augmented MCL (Probabilistic Robotics §8.3) —
+          every correction replaces a ``max(0, 1 - w_fast/w_slow)``
+          fraction of particles (gain-scaled, capped) with uniform
+          free-space draws. Continuous and proportional: false alarms
+          cost a few particles instead of the whole track, and symmetric-
+          environment lock-ins keep receiving escape hypotheses.
+        """
         import math
 
         cfg = self.config
@@ -529,6 +569,16 @@ class MCLNode:
             return
         self._q_fast += cfg.reinit_alpha_fast * (q - self._q_fast)
         self._q_slow += cfg.reinit_alpha_slow * (q - self._q_slow)
+        if cfg.reinit_mode == "inject":
+            if self.iters < cfg.reinit_min_iters:
+                return
+            # EMAs live in log space: w_fast / w_slow = exp(diff)
+            ratio = math.exp(min(self._q_fast - self._q_slow, 0.0))
+            self._inject_fraction = min(
+                cfg.reinit_inject_gain * (1.0 - ratio),
+                cfg.reinit_inject_max,
+            )
+            return
         if self._reinit_holdoff > 0:
             self._reinit_holdoff -= 1
             return

@@ -95,3 +95,15 @@ def test_kidnap_monitor_recovers_where_plain_filter_stays_locked():
     )
     assert rate_off == 0.0, per_off
     assert per_off[0]["auto_reinits"] == 0
+
+    # third arm (round-5): Augmented-MCL injection recovers WITHOUT a full
+    # re-init — and faster (it keeps scoring partial hypotheses instead of
+    # restarting global convergence from scratch)
+    rate_inj, med_inj, per_inj = bench.bench_kidnap(
+        6000, 60, gm, method="lut", trials=1, auto_reinit=True,
+        reinit_mode="inject", recover_updates=200,
+    )
+    assert rate_inj == 1.0, per_inj
+    assert per_inj[0]["auto_reinits"] == 0
+    assert per_inj[0]["inject_steps"] >= 1
+    assert med_inj is not None and med_inj <= 100
