@@ -315,6 +315,48 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_export_bag(args) -> int:
+    """Trace .npz -> rosbag2 directory (sqlite3 + CDR; SURVEY §4's
+    rosbag-replay workflow, no ROS install needed)."""
+    from monte_carlo_localization_tpu.runtime import Trace
+    from monte_carlo_localization_tpu.runtime.rosbag import export_bag
+
+    t = Trace.load(args.trace)
+    out = export_bag(
+        t, args.out,
+        scan_topic=args.scan_topic, odom_topic=args.odom_topic,
+        truth_topic=args.truth_topic, range_max=args.range_max,
+    )
+    print(json.dumps(dict(
+        bag=str(out),
+        scans=int(t.scan_ranges.shape[0]),
+        odom_msgs=int(len(t.odom_t)),
+        has_truth=t.truth_t is not None,
+    )))
+    return 0
+
+
+def cmd_import_bag(args) -> int:
+    """rosbag2 directory (or bare .db3) -> trace .npz for `cli replay`."""
+    from monte_carlo_localization_tpu.runtime.rosbag import import_bag
+
+    t = import_bag(
+        args.bag,
+        scan_topic=args.scan_topic, odom_topic=args.odom_topic,
+        truth_topic=args.truth_topic, map_name=args.map_name,
+    )
+    p = t.save(args.out)
+    print(json.dumps(dict(
+        trace=str(p),
+        scans=int(t.scan_ranges.shape[0]),
+        beams=int(t.num_beams),
+        odom_msgs=int(len(t.odom_t)),
+        has_truth=t.truth_t is not None,
+        duration_s=round(t.duration, 2),
+    )))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench as bench_mod  # repo-root bench harness
 
@@ -422,6 +464,33 @@ def build_parser() -> argparse.ArgumentParser:
     bn = sub.add_parser("bench")
     bn.add_argument("rest", nargs=argparse.REMAINDER)
     bn.set_defaults(fn=cmd_bench)
+
+    eb = sub.add_parser(
+        "export-bag",
+        help="trace .npz -> rosbag2 directory (ros2-bag-play compatible)",
+    )
+    eb.add_argument("--trace", required=True)
+    eb.add_argument("--out", required=True, help="bag DIRECTORY to create")
+    eb.add_argument("--scan-topic", default="/scan")
+    eb.add_argument("--odom-topic", default="/odom")
+    eb.add_argument("--truth-topic", default="/ground_truth")
+    eb.add_argument("--range-max", type=float, default=30.0)
+    eb.set_defaults(fn=cmd_export_bag)
+
+    ib = sub.add_parser(
+        "import-bag",
+        help="rosbag2 directory/.db3 -> trace .npz (feeds `replay`)",
+    )
+    ib.add_argument("--bag", required=True)
+    ib.add_argument("--out", required=True)
+    ib.add_argument("--scan-topic", default=None,
+                    help="default: first LaserScan topic in the bag")
+    ib.add_argument("--odom-topic", default=None,
+                    help="default: first Odometry topic in the bag")
+    ib.add_argument("--truth-topic", default=None,
+                    help="default: second Odometry topic if present")
+    ib.add_argument("--map-name", default="")
+    ib.set_defaults(fn=cmd_import_bag)
 
     inf = sub.add_parser("info")
     inf.add_argument("path")

@@ -33,14 +33,17 @@ def _group_bins(t_bins: int):
 
 
 def _sweep_group(occ_p: jnp.ndarray, rel: np.ndarray, step_len: np.ndarray,
-                 forward: bool, max_range_px: int) -> jnp.ndarray:
+                 forward: bool, max_range_px: int,
+                 out_dtype=jnp.uint8) -> jnp.ndarray:
     """One group's backward sweep.
 
     occ_p: (P, Q) bool — occupancy with the driving axis first.
     rel: (P, B) int8 — shear drift between line p and the next line along
          the ray (precomputed on host; static shapes).
     step_len: (B,) float32 — px advanced per line (1/|dominant component|).
-    forward: sweep order. Returns (P, B, Q) uint8 ranges in px.
+    forward: sweep order. Returns (P, B, Q) ``out_dtype`` ranges in px
+    (uint8 for max_range_px <= 254, uint16 for long-range maps — f32 line
+    counts stay exact far past any u16 range).
     """
     p_len, q_len = occ_p.shape
     b = rel.shape[1]
@@ -65,7 +68,7 @@ def _sweep_group(occ_p: jnp.ndarray, rel: np.ndarray, step_len: np.ndarray,
         nxt = jnp.where(r == 1, left, jnp.where(r == -1, right, d_prev))
         d_new = jnp.where(occ_row[None, :], 0.0, nxt + 1.0)
         px = jnp.clip(d_new * step_j[0] - 1.0, 0.0, maxr)
-        return d_new, (px + 0.5).astype(jnp.uint8)
+        return d_new, (px + 0.5).astype(out_dtype)
 
     _, out_seq = jax.lax.scan(
         step, jnp.zeros((b, q_len), jnp.float32), (occ_seq, rel_seq)
@@ -97,13 +100,15 @@ def _group_bins_padded(t_bins: int, row_stride: int):
 
 
 def build_range_lut_jax(
-    occupied, t_bins: int, max_range_px: int, row_stride: int = 0
+    occupied, t_bins: int, max_range_px: int, row_stride: int = 0,
+    lut_dtype=jnp.uint8,
 ) -> jnp.ndarray:
-    """(H, W, T) uint8 range LUT, built entirely on device.
+    """(H, W, T) uint8/uint16 range LUT, built entirely on device.
 
     With ``row_stride > t_bins`` the output's last axis is ``row_stride``
     with wraparound content (entry b = logical bin b % t_bins), ready for
     the Pallas query kernel — no separate padding pass needed.
+    ``lut_dtype=jnp.uint16`` for long-range maps (max_range_px > 254).
     """
     occupied = jnp.asarray(occupied, jnp.bool_)
     h, w = occupied.shape
@@ -128,7 +133,8 @@ def build_range_lut_jax(
 
         occ_p = occupied if rm else occupied.T
         part = _sweep_group(
-            occ_p, rel, step_len, forward=(d < 0), max_range_px=max_range_px
+            occ_p, rel, step_len, forward=(d < 0),
+            max_range_px=max_range_px, out_dtype=lut_dtype,
         )  # (P, B, Q)
         # back to (H, W, B)
         part = (
@@ -146,7 +152,7 @@ def build_range_lut_jax(
 
 
 build_range_lut_jax_jit = jax.jit(
-    build_range_lut_jax, static_argnums=(1, 2, 3)
+    build_range_lut_jax, static_argnums=(1, 2, 3, 4)
 )
 
 
@@ -180,15 +186,21 @@ def compact_row_map(clearance: np.ndarray, max_range_px: int):
     return row_map, row_cells
 
 
-SPAN = 512  # physical-bin span per write: one (4, 128) u8 DMA block column
+SPAN = 512  # u8 physical-bin span per write: one (4, 128) u8 DMA block column
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _write_span(buf, flats, cells_slice, span_idx, r0):
-    """Write one 512-bin span's rows into the donated LUT buffer."""
+def _span_bins(itemsize: int) -> int:
+    """Physical-bin span per write column — one 512 B DMA subrow: 512 u8
+    entries, 256 u16 entries (tile (2, 128))."""
+    return SPAN // itemsize
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
+def _write_span(buf, flats, cells_slice, span_idx, r0, sub_lanes):
+    """Write one subrow-span's rows into the donated LUT buffer."""
     cols = [f[cells_slice] for f in flats]
     vals = cols[0] if len(cols) == 1 else jnp.concatenate(cols, 1)
-    vals = vals.reshape(vals.shape[0], 1, 4, 128)
+    vals = vals.reshape(vals.shape[0], 1, sub_lanes, 128)
     return jax.lax.dynamic_update_slice(buf, vals, (r0, span_idx, 0, 0))
 
 
@@ -198,14 +210,19 @@ def build_compact_range_lut_jax(
     t_bins: int,
     max_range_px: int,
     row_stride: int,
-    chunk: int = 0,  # kept for API compat; spans are fixed at SPAN bins
+    chunk: int = 0,  # kept for API compat; spans are fixed at one subrow
     *,
     out=None,
     row_base: int = 0,
+    lut_dtype=np.uint8,
 ):
     """Compacted range LUT + (H*W,) int32 row map, built on device.
 
-    Returns (lut (K+1, stride//512, 4, 128) jnp.uint8, row_map np.int32).
+    Returns (lut, row_map np.int32) where lut is
+    (K+1, stride//512, 4, 128) jnp.uint8 for maps with
+    max_range_px <= 254, or (K+1, stride//256, 2, 128) jnp.uint16 for
+    long-range maps (``lut_dtype=np.uint16``) — either way the Pallas
+    kernel's native 512 B subrow tile layout.
 
     With ``out``/``row_base`` the rows are written into a CALLER-provided
     donated buffer starting at ``row_base`` (the member-block assembly
@@ -233,10 +250,16 @@ def build_compact_range_lut_jax(
     transients live at once.
     """
     del chunk
+    lut_dtype = np.dtype(lut_dtype)
+    if lut_dtype.itemsize not in (1, 2):
+        raise ValueError(f"unsupported LUT dtype {lut_dtype} (u8/u16 only)")
+    span = _span_bins(lut_dtype.itemsize)  # bins per 512 B write column
+    sub_lanes = span // 128
+    jdtype = jnp.uint8 if lut_dtype.itemsize == 1 else jnp.uint16
     occupied = jnp.asarray(occupied, jnp.bool_)
     h, w = occupied.shape
-    if row_stride % SPAN != 0:
-        raise ValueError(f"row_stride must be a multiple of {SPAN}")
+    if row_stride % span != 0:
+        raise ValueError(f"row_stride must be a multiple of {span}")
     row_map, row_cells = compact_row_map(clearance, max_range_px)
     k_rows = len(row_cells)
     groups, c, s = (
@@ -247,8 +270,8 @@ def build_compact_range_lut_jax(
 
     if out is None:
         out = jnp.full(
-            (k_rows + 1, row_stride // SPAN, 4, 128), max_range_px,
-            jnp.uint8,
+            (k_rows + 1, row_stride // span, sub_lanes, 128), max_range_px,
+            jdtype,
         )
     else:
         # lax.dynamic_update_slice CLAMPS out-of-bounds starts, so a
@@ -259,21 +282,22 @@ def build_compact_range_lut_jax(
                 f"member LUT block [{row_base}, {row_base + k_rows + 1}) "
                 f"exceeds the donated buffer's {out.shape[0]} rows"
             )
-        if out.shape[1:] != (row_stride // SPAN, 4, 128):
+        if out.shape[1:] != (row_stride // span, sub_lanes, 128):
             raise ValueError(
                 f"donated buffer tile shape {out.shape[1:]} != "
-                f"({row_stride // SPAN}, 4, 128) for row_stride {row_stride}"
+                f"({row_stride // span}, {sub_lanes}, 128) for row_stride "
+                f"{row_stride}"
             )
-        if out.dtype != jnp.uint8:
+        if out.dtype != jdtype:
             raise ValueError(
-                f"donated buffer dtype {out.dtype} != uint8"
+                f"donated buffer dtype {out.dtype} != {jdtype.__name__}"
             )
     cells_j = jnp.asarray(row_cells, jnp.int32)
 
     @partial(jax.jit, static_argnums=(3, 4, 5))
     def sweep_flat(occ_p, rel, step_len, forward, maxr, rm):
         """Sweep one piece and return it cell-major: (H*W, bc)."""
-        part = _sweep_group(occ_p, rel, step_len, forward, maxr)
+        part = _sweep_group(occ_p, rel, step_len, forward, maxr, jdtype)
         return (
             jnp.transpose(part, (0, 2, 1))
             if rm
@@ -306,15 +330,15 @@ def build_compact_range_lut_jax(
     # builds of the same shape reuse one compiled program.
     row_chunk = 1 << 20
 
-    for c0 in range(0, row_stride, SPAN):
+    for c0 in range(0, row_stride, span):
         # split this span into runs owned by one group each
         pieces = []  # (key, group positions) per contiguous piece
         b = c0
-        while b < c0 + SPAN:
+        while b < c0 + span:
             key, pos = owner[b]
             ln = 1
             while (
-                b + ln < c0 + SPAN
+                b + ln < c0 + span
                 and owner[b + ln][0] == key
                 and owner[b + ln][1] == pos + ln
             ):
@@ -337,12 +361,12 @@ def build_compact_range_lut_jax(
                     rm,
                 )
             )
-        span_idx = jnp.int32(c0 // SPAN)
+        span_idx = jnp.int32(c0 // span)
         for r0 in range(0, k_rows, row_chunk):
             rc = min(row_chunk, k_rows - r0)
             out = _write_span(
                 out, flats, cells_j[r0 : r0 + rc], span_idx,
-                jnp.int32(row_base + r0 + 1),
+                jnp.int32(row_base + r0 + 1), sub_lanes,
             )
         # serialize spans: async dispatch would keep every span's ~2 GB
         # sweep slab live at once next to the multi-GB buffer
