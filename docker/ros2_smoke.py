@@ -74,9 +74,22 @@ class TracePlayer(Node):
                        1 - 2 * (o.y * o.y + o.z * o.z))
         )
         self.poses.append((
-            self._trace_now,
+            self._trace_time_now(),
             np.array([msg.pose.position.x, msg.pose.position.y, th]),
         ))
+
+    def _trace_time_now(self) -> float:
+        """RECEIPT-relative trace time, interpolated from the wall clock.
+
+        Timestamping a received pose with the last PUBLISHED event's time
+        compared pipelined corrections against slightly-future ground
+        truth, biasing the RMSE gate (ADVICE round 4); the wall clock maps
+        receipt time onto the trace timeline exactly."""
+        if self._t0_wall is None:
+            return 0.0
+        return self._t0_trace + (
+            time.monotonic() - self._t0_wall
+        ) * self._rate
 
     # -- publishing helpers --
     def seed_pose(self) -> None:
@@ -119,11 +132,11 @@ class TracePlayer(Node):
         )
         t0_wall = time.monotonic()
         t0 = events[0][0]
+        self._t0_wall, self._t0_trace, self._rate = t0_wall, t0, rate
         for t, kind, i in events:
             target = t0_wall + (t - t0) / rate
             while time.monotonic() < target:
                 rclpy.spin_once(self, timeout_sec=0.001)
-            self._trace_now = t
             if kind == "odom":
                 self.pub_odom.publish(self.make_odom(i))
             else:
@@ -133,10 +146,12 @@ class TracePlayer(Node):
         while time.monotonic() < t_end:
             rclpy.spin_once(self, timeout_sec=0.05)
 
-    _trace_now = 0.0
+    _t0_wall: float | None = None
+    _t0_trace = 0.0
+    _rate = 1.0
 
 
-def main() -> int:
+def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", required=True)
     ap.add_argument("--rate", type=float, default=1.0)
@@ -145,7 +160,7 @@ def main() -> int:
     ap.add_argument("--map-timeout", type=float, default=120.0,
                     help="seconds to wait for the bridge's latched /map "
                          "(covers the engine's first jit compile)")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     rclpy.init()
     player = TracePlayer(Path(args.trace))
