@@ -859,6 +859,50 @@ def run_converge(quick=False, method="lut_pallas"):
     )
 
 
+def run_million(quick=False, method="lut_pallas"):
+    """One decade past config #4: 1M particles on basement_fixed
+    (VERDICT round-4 item 6). PERF.md's roofline pins the kernel at
+    ~63 ns/particle (the scalar-core DMA-issue floor, measured at 100k);
+    if the claim extrapolates linearly, 1M particles land near ~15
+    updates/s. Emits TWO lines: chained tracking throughput at 1M, and
+    global-localization convergence success at 1M (the population where
+    brute-force global relocalization actually pays)."""
+    gm = _load_real_map(CONFIG_MAPS[4])
+    n = 200_000 if quick else 1_000_000
+    chained, dispatch = bench_updates(
+        n, 60, gm, method=method, chain=10, reps=2, quick=quick,
+    )
+    out = [dict(
+        metric=f"updates_per_sec[{n // 1000}k particles x 60 beams, "
+               f"basement_fixed, chained]" + ("[quick]" if quick else ""),
+        value=chained["median"],
+        unit="updates/s",
+        # vs the linear extrapolation of the 63 ns/particle issue floor
+        # + measured non-kernel overhead at 100k (6.3 ms -> x10)
+        vs_baseline=round(chained["median"] * n * 63e-9, 3),
+        spread=chained,
+        dispatch=dispatch,
+        ns_per_particle=round(1e9 / (chained["median"] * n), 1),
+        method=method,
+    )]
+    rate, med_u, med_s, per_trial = bench_convergence(
+        n, 60, gm, method=method, trials=3 if quick else 5,
+        max_updates=60, chunk=5, quick=quick,
+    )
+    out.append(dict(
+        metric=f"time_to_converge[{n // 1000}k uniform seed, "
+               f"basement_fixed]" + ("[quick]" if quick else ""),
+        value=med_s if med_s is not None else -1.0,
+        unit="s",
+        vs_baseline=rate,
+        success_rate=rate,
+        median_updates=med_u,
+        trials=per_trial,
+        method=method,
+    ))
+    return out
+
+
 def run_kidnap(quick=False, method="lut_pallas", monitor=True,
                arms=("inject", "reinit", "off")):
     """Kidnapped-robot CLOSED LOOP on basement_fixed: converge -> teleport
@@ -980,6 +1024,8 @@ def _child_args(args, method, cpu=False, cpu_note=None):
         argv.append("--kidnap")
     if getattr(args, "kidnap_off", False):
         argv.append("--kidnap-off")
+    if getattr(args, "million", False):
+        argv.append("--million")
     if getattr(args, "fleet_giant", False):
         argv.append("--fleet-giant")
     if getattr(args, "fleet_live", False):
@@ -1162,6 +1208,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--kidnap-off", action="store_true",
                     help="the same kidnap protocol with the monitor "
                          "DISABLED (reference behavior: no recovery)")
+    ap.add_argument("--million", action="store_true",
+                    help="the 1M-particle scale line on basement_fixed: "
+                         "chained throughput (63 ns/particle linear-"
+                         "scaling check) + global convergence at 1M")
     ap.add_argument("--fleet-giant", action="store_true",
                     help="heterogeneous fleet over GIANT maps: 16 cars x "
                          "4000p over two 1300x1300 basement-class "
@@ -1229,6 +1279,10 @@ def main(argv=None) -> int:
     if args.kidnap or args.kidnap_off:
         for line in run_kidnap(quick=args.quick, method=args.method,
                                monitor=not args.kidnap_off):
+            _emit(line)
+        return 0
+    if args.million:
+        for line in run_million(quick=args.quick, method=args.method):
             _emit(line)
         return 0
     if args.fleet_giant:

@@ -126,6 +126,18 @@ class MCLConfig:
     # as an opt-in for workloads where heading quantization actually
     # binds (coarse theta bins / very long ranges); see PERF.md.
     pallas_subbin: bool = False
+    # mega-fused chained step (lut_pallas + step_many only): the ENTIRE
+    # correction — systematic resample (triangular-matmul cumsum + one-
+    # hot MXU ancestor gather), motion, window addressing, the DMA
+    # likelihood pipeline and the pose moment sums — runs as ONE Pallas
+    # program per step, eliminating the resample/motion/pose XLA fusions
+    # and the ~0.107 ms/step inter-kernel residual the round-4 ablation
+    # measured (PERF.md:96-106, bounded ~1.6x headline upside). Dense-
+    # LUT single maps on the analytic path only (the compact LUT's
+    # row_map gather cannot live in-kernel); the RNG stream matches the
+    # classic path draw-for-draw (hoisted out of the scan, not replaced).
+    # Default OFF until the hardware A/B records a win (see PERF.md).
+    pallas_mega: bool = False
     # distributed resampling of ShardedParticleFilter: "bucketed" (default
     # — covered ancestor rows cross shards through fringe ppermutes + a
     # tiny seed psum, O(fringe + D) ICI bytes/step; falls back to the

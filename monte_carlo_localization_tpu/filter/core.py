@@ -398,6 +398,7 @@ class ParticleFilter:
     def _rebuild_step(self) -> None:
         cfg = self.config
         likelihood_fn = None
+        self._mega_stepper = None
         if cfg.raycast_method == "lut_pallas" and self.beam_angles is not None:
             try:
                 self.grid_map, query = build_pallas_likelihood(
@@ -424,6 +425,37 @@ class ParticleFilter:
             else:
                 sensor = self.sensor
                 self._pallas_query = query  # exposed for tests/diagnostics
+                if cfg.pallas_mega:
+                    from monte_carlo_localization_tpu.filter.mega import (
+                        MegaStepper,
+                        mega_supported,
+                    )
+                    from monte_carlo_localization_tpu.ops.pallas_lut import (
+                        pick_block,
+                        resolve_block_cap,
+                    )
+
+                    if not mega_supported(self.grid_map, cfg):
+                        raise ValueError(
+                            "pallas_mega needs a dense-LUT single map on "
+                            "the analytic/systematic path (the compact "
+                            "LUT's row_map gather cannot live in-kernel "
+                            "— see ops/pallas_mega.py)"
+                        )
+                    self._mega_stepper = MegaStepper(
+                        self.grid_map,
+                        np.asarray(self.beam_angles),
+                        cfg,
+                        cfg.max_particles,
+                        self.sensor,
+                        block=pick_block(
+                            cfg.max_particles,
+                            resolve_block_cap(
+                                cfg.max_particles, cfg.pallas_block
+                            ),
+                        ),
+                        interpret=jax.default_backend() == "cpu",
+                    )
 
                 def likelihood_fn(particles, observed_m, gmap):
                     obs_px = sensor.to_pixel_index(observed_m).astype(
@@ -546,6 +578,8 @@ class ParticleFilter:
         """
         if self.beam_angles is None:
             raise RuntimeError("beam_angles not set — call set_beam_angles() first")
+        if self._mega_stepper is not None:
+            return self._mega_stepper.step_many(state, actions, observed_m)
         return self._step_many(
             state,
             jnp.asarray(actions, dtype=jnp.float32),
