@@ -196,6 +196,44 @@ class TestMegaStep:
         err = np.linalg.norm(np.asarray(poses)[-1, :2] - pose[:2])
         assert err < 0.15, err
 
+    def test_full_window_branch(self, clutter_map):
+        """>128 beams takes the full-window reduce (the 1080-beam
+        headline's branch; compact-beam MXU only serves r <= 128):
+        single zero-noise step must match the classic query."""
+        import jax.numpy as jnp
+
+        gm = clutter_map
+        beams = np.linspace(-2.35, 2.35, 200).astype(np.float32)
+        cfg = mcl.MCLConfig(
+            max_particles=128, raycast_method="lut_pallas", angle_step=1,
+            pallas_mega=True, motion_dispersion_x=0.0,
+            motion_dispersion_y=0.0, motion_dispersion_theta=0.0,
+        )
+        pf_m = mcl.ParticleFilter(gm, cfg, beam_angles=beams)
+        assert not pf_m._mega_stepper.info["compact_beams"]
+        pose = np.array([10.3, 9.7, 0.4], np.float32)
+        scan = synth_scan(gm, pose, beams)
+        s = pf_m.init_pose(pose, seed=4)
+        parts0 = np.asarray(s.particles)
+        s, p = pf_m.step_many(
+            s, np.zeros((1, 3), np.float32), scan[None]
+        )
+        obs_px = pf_m.sensor.to_pixel_index(jnp.asarray(scan)).astype(
+            jnp.float32
+        )
+        want = np.asarray(pf_m._pallas_query(
+            pf_m.grid_map.range_lut, jnp.asarray(parts0), obs_px,
+            row_map=pf_m.grid_map.lut_row_map,
+        ))
+        got = np.asarray(s.log_weights)
+        np.testing.assert_allclose(
+            got, want - want.max(), atol=2e-3, rtol=1e-5
+        )
+        # loose sanity only: 128 particles / one correction put the
+        # posterior mean within the seed cloud's spread (the REAL check
+        # is the bitwise logp parity above)
+        assert np.linalg.norm(np.asarray(p)[0, :2] - pose[:2]) < 0.6
+
     def test_compact_map_rejected(self, clutter_map, monkeypatch):
         """Row-compacted maps cannot serve the mega path (the row_map
         gather cannot live in-kernel) — explicit error, not wrong math."""
