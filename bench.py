@@ -402,6 +402,11 @@ def bench_kidnap(num_particles, num_beams, gm, method="lut_pallas",
             auto_reinits=node.auto_reinits - reinits_before,
             inject_steps=node.inject_steps - injects_before,
         ))
+        print(
+            f"#   kidnap trial {trial}: converged={converged_at} "
+            f"recovered={recovered_at} (eligible {eligible_n})",
+            file=sys.stderr, flush=True,
+        )
 
     eligible = [tr for tr in per_trial if tr["converged"] is not None]
     ok = [tr for tr in eligible if tr["recovered"] is not None]
@@ -918,8 +923,8 @@ def run_kidnap(quick=False, method="lut_pallas", monitor=True,
     if not monitor:
         arms = ("off",)
     target = 2 if quick else 20
-    out = []
     for arm in arms:
+        print(f"# kidnap arm={arm} starting", file=sys.stderr, flush=True)
         rate, med_u, per_trial = bench_kidnap(
             100_000, 60, gm, method=method,
             trials=(2 if quick else 40),
@@ -933,7 +938,10 @@ def run_kidnap(quick=False, method="lut_pallas", monitor=True,
             "reinit": "full re-init",
             "off": "monitor OFF (reference behavior)",
         }[arm]
-        out.append(dict(
+        # yield per arm (a generator): a multi-hour three-arm run streams
+        # each finished arm's JSON line immediately instead of holding
+        # everything until the last arm completes
+        yield dict(
             metric=f"kidnap_recovery[basement_fixed, 100k particles, {tag}]"
                    + ("[quick]" if quick else ""),
             value=med_u if med_u is not None else -1.0,
@@ -946,8 +954,7 @@ def run_kidnap(quick=False, method="lut_pallas", monitor=True,
             ),
             trials=per_trial,
             method=method,
-        ))
-    return out
+        )
 
 
 def run_live(quick=False, method="lut_pallas"):
@@ -1271,7 +1278,7 @@ def main(argv=None) -> int:
             res["note"] = args.cpu_note or (
                 "CPU-backend run, NOT the accelerator metric"
             )
-        print(json.dumps(res))
+        print(json.dumps(res), flush=True)
 
     if args.converge:
         _emit(run_converge(quick=args.quick, method=args.method))
