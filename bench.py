@@ -351,14 +351,35 @@ def bench_kidnap(num_particles, num_beams, gm, method="lut_pallas",
         # angle_step=18 would re-stride them down to ~num_beams/18 beams
         angle_step=1,
     )
+    # ONE node for the whole arm: a fresh MCLNode per trial re-traces the
+    # jitted step and pays the remote-compile service a cache-hit round
+    # trip EVERY trial (~2.5 min/trial measured round 5 — 3.5 h for the
+    # three-arm design). The per-trial state is reset explicitly instead;
+    # trial statistics are unchanged (fresh RNG, fresh global cloud,
+    # disarmed monitor).
+    node = MCLNode(gm, cfg, rng_seed=100)
+    node.delay_compensation_enabled = False
+
+    def reset_trial(trial: int) -> None:
+        node.rng = np.random.default_rng(100 + trial)
+        node._flush_inflight()
+        node.state = node.filter.init_global(seed=100 + trial)
+        node.tracker.deactivate()
+        node.inferred_pose = None
+        node.iters = 0
+        node._q_slow = node._q_fast = None
+        node._bad_count = 0
+        node._reinit_holdoff = 0
+        node._inject_fraction = 0.0
+        node._last_update_time = None
+
     per_trial = []
     eligible_n = 0
     max_trials = trials if eligible_target is None else 2 * eligible_target
     for trial in range(max_trials):
         if eligible_target is not None and eligible_n >= eligible_target:
             break
-        node = MCLNode(gm, cfg, rng_seed=100 + trial)
-        node.delay_compensation_enabled = False
+        reset_trial(trial)
         pose_a, pose_b = rand_pose(), rand_pose()
         # B far enough from A that "still at A" can't count as recovered
         guard = 0
