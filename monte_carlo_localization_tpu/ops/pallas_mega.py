@@ -226,7 +226,11 @@ def build_mega_step_fn(
                 preferred_element_type=jnp.float32, precision=hi,
             )
             cs = lane_cs + row_pre  # inclusive cumsum, id = sub*128+lane
-            z_tot = cs[nps - 1:nps, LANE - 1:LANE]
+            # normalize by the TRUE SCALAR total: a rank-0 reduction
+            # splats fine, while a (1,1) vector slice cannot broadcast to
+            # (NPS,128) in one Mosaic op ("Broadcast in both sublanes and
+            # lanes" — and a two-stage broadcast_to gets folded back)
+            z_tot = jnp.sum(w)
             g2d = (n / 1.0) * (cs / z_tot) - u0
             g = g2d.reshape(1, npd)  # flatten relayout
             gp = pltpu.roll(g, 1, 1)
@@ -237,8 +241,8 @@ def build_mega_step_fn(
             tiles = []
             for t in range(nps):
                 slots = t * LANE + jax.lax.broadcasted_iota(
-                    jnp.float32, (LANE, 1), 0
-                )
+                    jnp.int32, (LANE, 1), 0
+                ).astype(jnp.float32)
                 a = (g >= slots).astype(jnp.float32)  # (128, NP)
                 ap = (gp >= slots).astype(jnp.float32)
                 tiles.append(jax.lax.dot_general(

@@ -199,7 +199,10 @@ def probe_mega_ops():
             precision=jax.lax.Precision.HIGHEST,
         )
         cs = lane_cs + s  # inclusive flat cumsum, id = sub*128 + lane
-        z = cs[nps - 1 : nps, lane - 1 : lane]
+        # normalize by the TRUE SCALAR total (a rank-0 reduction splats
+        # fine; a (1,1) vector slice cannot broadcast to (32,128) in one
+        # Mosaic op — "Broadcast in both sublanes and lanes")
+        z = jnp.sum(w)
         cdf = cs / z
         g = n_real * cdf - u0_host  # (32, 128)
         g_flat = g.reshape(1, np_total)  # relayout #1
@@ -213,10 +216,12 @@ def probe_mega_ops():
         for t in range(nps):
             slot0 = t * lane
             slots = slot0 + jax.lax.broadcasted_iota(
-                jnp.float32, (lane, 1), 0
-            )
-            a = (g_flat >= slots).astype(jnp.float32)  # (128, NP)
-            ap = (gp >= slots).astype(jnp.float32)
+                jnp.int32, (lane, np_total), 0
+            ).astype(jnp.float32)  # slot id down sublanes, full lanes
+            g_b = jnp.broadcast_to(g_flat, (lane, np_total))
+            gp_b = jnp.broadcast_to(gp, (lane, np_total))
+            a = (g_b >= slots).astype(jnp.float32)  # (128, NP)
+            ap = (gp_b >= slots).astype(jnp.float32)
             onehot = a - ap
             rows.append(jax.lax.dot_general(
                 onehot, parts, (((1,), (0,)), ((), ())),
@@ -331,6 +336,246 @@ def main(argv):
         else:
             print(f"PASS {name} ({time.perf_counter() - t0:.1f}s)")
     return 1 if failed else 0
+
+
+
+
+
+def probe_mega_parts():
+    """Time the mega prologue's sub-ops separately to find the slow one."""
+    nps, lane = 32, 128
+    np_total = nps * lane
+    rng = np.random.default_rng(1)
+    w_host = rng.uniform(0.1, 1.0, (nps, lane)).astype(np.float32)
+    parts_host = rng.normal(size=(np_total, 3)).astype(np.float32)
+    u128 = np.triu(np.ones((lane, lane), np.float32))
+
+    def time_call(name, call, *a):
+        o = call(*a); jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        for _ in range(50):
+            o = call(*a)
+        jax.block_until_ready(o)
+        print(f"  {name:24s} {(time.perf_counter() - t0) / 50 * 1e3:8.3f} ms")
+
+    def k_cumsum(w_ref, u_ref, out_ref):
+        w = w_ref[:]
+        lane_cs = jax.lax.dot_general(
+            w, u_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        out_ref[:] = lane_cs / jnp.sum(w)
+
+    c1 = pl.pallas_call(
+        k_cumsum, interpret=INTERPRET,
+        out_shape=jax.ShapeDtypeStruct((nps, lane), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))
+    time_call("cumsum-matmul", c1, jnp.asarray(w_host), jnp.asarray(u128))
+
+    def k_flatten(w_ref, out_ref):
+        g = w_ref[:].reshape(1, np_total)
+        out_ref[:] = pltpu.roll(g, 1, 1)
+
+    c2 = pl.pallas_call(
+        k_flatten, interpret=INTERPRET,
+        out_shape=jax.ShapeDtypeStruct((1, np_total), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))
+    time_call("flatten+roll", c2, jnp.asarray(w_host))
+
+    def k_onehot(g_ref, parts_ref, out_ref):
+        g = g_ref[:]
+        tiles = []
+        for t in range(nps):
+            slots = t * lane + jax.lax.broadcasted_iota(
+                jnp.int32, (lane, np_total), 0).astype(jnp.float32)
+            gb = jnp.broadcast_to(g, (lane, np_total))
+            a = (gb >= slots).astype(jnp.float32)
+            tiles.append(jax.lax.dot_general(
+                a, parts_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST))
+        out_ref[:] = jnp.concatenate(tiles, axis=0)
+
+    c3 = pl.pallas_call(
+        k_onehot, interpret=INTERPRET,
+        out_shape=jax.ShapeDtypeStruct((np_total, 3), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))
+    g_host = np.sort(rng.uniform(0, np_total, (1, np_total))).astype(np.float32)
+    time_call("onehot32+mm-HIGHEST", c3, jnp.asarray(g_host),
+              jnp.asarray(parts_host))
+
+    def k_onehot_def(g_ref, parts_ref, out_ref):
+        g = g_ref[:]
+        tiles = []
+        for t in range(nps):
+            slots = t * lane + jax.lax.broadcasted_iota(
+                jnp.int32, (lane, np_total), 0).astype(jnp.float32)
+            gb = jnp.broadcast_to(g, (lane, np_total))
+            a = (gb >= slots).astype(jnp.float32)
+            tiles.append(jax.lax.dot_general(
+                a, parts_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        out_ref[:] = jnp.concatenate(tiles, axis=0)
+
+    c3d = pl.pallas_call(
+        k_onehot_def, interpret=INTERPRET,
+        out_shape=jax.ShapeDtypeStruct((np_total, 3), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))
+    time_call("onehot32+mm-DEFAULT", c3d, jnp.asarray(g_host),
+              jnp.asarray(parts_host))
+
+    def k_col(p_ref, out_ref):
+        th = p_ref[:, 2:3]
+        col = jnp.sin(th) + th * 0.5
+        out_ref[:] = col.reshape(nps, lane)
+
+    c4 = pl.pallas_call(
+        k_col, interpret=INTERPRET,
+        out_shape=jax.ShapeDtypeStruct((nps, lane), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))
+    time_call("colmath+reshape", c4, jnp.asarray(parts_host))
+
+
+PROBES["mega_parts"] = probe_mega_parts
+
+
+
+
+def probe_mega_bisect():
+    """Bisect the full-prologue slowdown (parts sum ~0.25 ms, full 5.2 ms)."""
+    nps, lane = 32, 128
+    np_total = nps * lane
+    rng = np.random.default_rng(1)
+    w_host = rng.uniform(0.1, 1.0, (nps, lane)).astype(np.float32)
+    parts_host = rng.normal(size=(np_total, 3)).astype(np.float32)
+    u128 = np.triu(np.ones((lane, lane), np.float32))
+    l32s = np.tril(np.ones((nps, nps), np.float32), k=-1)
+    g_host = np.sort(rng.uniform(0, np_total, (1, np_total))).astype(np.float32)
+
+    def time_call(name, call, *a):
+        o = call(*a); jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        for _ in range(50):
+            o = call(*a)
+        jax.block_until_ready(o)
+        print(f"  {name:28s} {(time.perf_counter() - t0) / 50 * 1e3:8.3f} ms")
+
+    def k_onehot_diff(g_ref, parts_ref, out_ref):
+        g = g_ref[:]
+        gp = pltpu.roll(g, 1, 1)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+        gp = jnp.where(lane_i == 0, -0.37, gp)
+        tiles = []
+        for t in range(nps):
+            slots = t * lane + jax.lax.broadcasted_iota(
+                jnp.int32, (lane, np_total), 0).astype(jnp.float32)
+            gb = jnp.broadcast_to(g, (lane, np_total))
+            gpb = jnp.broadcast_to(gp, (lane, np_total))
+            a = (gb >= slots).astype(jnp.float32)
+            ap = (gpb >= slots).astype(jnp.float32)
+            tiles.append(jax.lax.dot_general(
+                a - ap, parts_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST))
+        out_ref[:] = jnp.concatenate(tiles, axis=0)
+
+    c = pl.pallas_call(
+        k_onehot_diff, interpret=INTERPRET,
+        out_shape=jax.ShapeDtypeStruct((np_total, 3), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))
+    time_call("onehot-diff+mm", c, jnp.asarray(g_host),
+              jnp.asarray(parts_host))
+
+    def k_front(w_ref, u_ref, l_ref, parts_ref, out_ref):
+        w = w_ref[:]
+        lane_cs = jax.lax.dot_general(
+            w, u_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        row_tot = lane_cs[:, lane - 1:lane]
+        pre = jax.lax.dot_general(
+            l_ref[:], row_tot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        cs = lane_cs + pre
+        z = jnp.sum(w)
+        g = (np_total * (cs / z) - 0.37).reshape(1, np_total)
+        gp = pltpu.roll(g, 1, 1)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+        gp = jnp.where(lane_i == 0, -0.37, gp)
+        tiles = []
+        for t in range(nps):
+            slots = t * lane + jax.lax.broadcasted_iota(
+                jnp.int32, (lane, np_total), 0).astype(jnp.float32)
+            gb = jnp.broadcast_to(g, (lane, np_total))
+            gpb = jnp.broadcast_to(gp, (lane, np_total))
+            a = (gb >= slots).astype(jnp.float32)
+            ap = (gpb >= slots).astype(jnp.float32)
+            tiles.append(jax.lax.dot_general(
+                a - ap, parts_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST))
+        out_ref[:] = jnp.concatenate(tiles, axis=0)
+
+    c2 = pl.pallas_call(
+        k_front, interpret=INTERPRET,
+        out_shape=jax.ShapeDtypeStruct((np_total, 3), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))
+    time_call("cumsum->onehot-diff+mm", c2, jnp.asarray(w_host),
+              jnp.asarray(u128), jnp.asarray(l32s), jnp.asarray(parts_host))
+
+    def k_full2(w_ref, u_ref, l_ref, parts_ref, out_parts, out_chk):
+        w = w_ref[:]
+        lane_cs = jax.lax.dot_general(
+            w, u_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        row_tot = lane_cs[:, lane - 1:lane]
+        pre = jax.lax.dot_general(
+            l_ref[:], row_tot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        cs = lane_cs + pre
+        g = (np_total * (cs / jnp.sum(w)) - 0.37).reshape(1, np_total)
+        gp = pltpu.roll(g, 1, 1)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+        gp = jnp.where(lane_i == 0, -0.37, gp)
+        tiles = []
+        for t in range(nps):
+            slots = t * lane + jax.lax.broadcasted_iota(
+                jnp.int32, (lane, np_total), 0).astype(jnp.float32)
+            gb = jnp.broadcast_to(g, (lane, np_total))
+            gpb = jnp.broadcast_to(gp, (lane, np_total))
+            a = (gb >= slots).astype(jnp.float32)
+            ap = (gpb >= slots).astype(jnp.float32)
+            tiles.append(jax.lax.dot_general(
+                a - ap, parts_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST))
+        prop = jnp.concatenate(tiles, axis=0)
+        out_parts[:] = prop
+        th = prop[:, 2:3]
+        out_chk[:] = (jnp.sin(th) + th * 0.5).reshape(nps, lane)
+
+    c3 = pl.pallas_call(
+        k_full2, interpret=INTERPRET,
+        out_shape=(jax.ShapeDtypeStruct((np_total, 3), jnp.float32),
+                   jax.ShapeDtypeStruct((nps, lane), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)))
+    time_call("full(+colmath+2outs)", c3, jnp.asarray(w_host),
+              jnp.asarray(u128), jnp.asarray(l32s), jnp.asarray(parts_host))
+
+
+PROBES["mega_bisect"] = probe_mega_bisect
 
 
 if __name__ == "__main__":
