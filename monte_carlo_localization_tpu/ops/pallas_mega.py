@@ -296,20 +296,26 @@ def build_mega_step_fn(
             rem = jax.lax.bitwise_and(b0, eps - 1)
             y0 = cell * spe + jax.lax.shift_right_logical(b0, eps_shift)
             y0 = jnp.where(oob, 0, y0)
-            oob_col[:] = oob.astype(jnp.float32)
+            # ROW layout (1, NP) everywhere SMEM is involved: SMEM scratch
+            # is lane-tiled like vector memory, so a (NP, 1) column costs
+            # 128x its payload (2 MB at NP=4096 — over the 1 MB SMEM
+            # budget); a (1, NP) row packs into NP/128 tiles
+            oob_col[:] = (
+                oob.astype(jnp.float32).reshape(nps, LANE).reshape(1, npd)
+            )
 
             # hand the per-particle indices to the scalar core: VMEM
             # staging buffer -> SMEM DMA (the block DMA loop reads them
             # as scalars)
             def to_smem(val, smem):
                 def scoped(tmp, tsem):
-                    tmp[:] = val
+                    tmp[:] = val.reshape(nps, LANE).reshape(1, npd)
                     pltpu.make_async_copy(tmp, smem, tsem).start()
                     pltpu.make_async_copy(tmp, smem, tsem).wait()
 
                 pl.run_scoped(
                     scoped,
-                    tmp=pltpu.VMEM((npd, 1), jnp.int32),
+                    tmp=pltpu.VMEM((1, npd), jnp.int32),
                     tsem=pltpu.SemaphoreType.DMA(()),
                 )
 
@@ -320,7 +326,7 @@ def build_mega_step_fn(
         def start_dmas(buf, blk):
             for s in range(block):
                 pltpu.make_async_copy(
-                    lut_ref.at[pl.ds(y0s[blk * block + s, 0], y_rows)],
+                    lut_ref.at[pl.ds(y0s[0, blk * block + s], y_rows)],
                     win_scratch.at[buf, s],
                     dma_sems.at[buf, s],
                 ).start()
@@ -328,7 +334,7 @@ def build_mega_step_fn(
         def wait_dmas(buf, blk):
             for s in range(block):
                 pltpu.make_async_copy(
-                    lut_ref.at[pl.ds(y0s[blk * block + s, 0], y_rows)],
+                    lut_ref.at[pl.ds(y0s[0, blk * block + s], y_rows)],
                     win_scratch.at[buf, s],
                     dma_sems.at[buf, s],
                 ).wait()
@@ -347,7 +353,7 @@ def build_mega_step_fn(
         for s in range(block):
             win = win_scratch[slot, s].reshape(s_sub, LANE)
             win = win.astype(jnp.int32).astype(jnp.float32)
-            rows.append(rotate_flat(win, rems[i * block + s, 0]))
+            rows.append(rotate_flat(win, rems[0, i * block + s]))
         if compact_beams:
             w3 = jnp.stack(rows)  # (block, s_sub, LANE)
             acc = jnp.zeros((block, LANE), jnp.float32)
@@ -363,7 +369,7 @@ def build_mega_step_fn(
                 jnp.stack(rows), obs_ref[:][None], masks_ref[:][None]
             )
         for s in range(block):
-            logps[i * block + s, 0] = inv_squash * jnp.sum(logp[s])
+            logps[0, i * block + s] = inv_squash * jnp.sum(logp[s])
 
         # ---------------- epilogue: normalize + pose moment sums -------
         @pl.when(i == nblocks - 1)
@@ -371,21 +377,30 @@ def build_mega_step_fn(
             def scoped(lp_v, lsem):
                 pltpu.make_async_copy(logps, lp_v, lsem).start()
                 pltpu.make_async_copy(logps, lp_v, lsem).wait()
-                sub_i = jax.lax.broadcasted_iota(
-                    jnp.int32, (npd, 1), 0
+                lane_i = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, npd), 1
                 )
-                lp = lp_v[:]
+                lp = lp_v[:]  # (1, NP) row
                 lp = jnp.where(oob_col[:] > 0.5, -1e4, lp)
-                lp = jnp.where(sub_i >= n, _NEG, lp)
+                lp = jnp.where(lane_i >= n, _NEG, lp)
                 mx = jnp.max(lp)
                 ww = jnp.exp(lp - mx)  # pads -> 0
-                zz = jnp.sum(ww)
                 prop = prop_out[:]
-                sums_out[0, 0] = jnp.sum(ww * prop[:, 0:1])
-                sums_out[0, 1] = jnp.sum(ww * prop[:, 1:2])
-                sums_out[0, 2] = jnp.sum(ww * jnp.sin(prop[:, 2:3]))
-                sums_out[0, 3] = jnp.sum(ww * jnp.cos(prop[:, 2:3]))
-                sums_out[0, 4] = zz
+
+                def wdot(col):
+                    # sum_i ww[i] * col[i] as ONE (1,NP)@(NP,1) MXU dot —
+                    # ww lives as a lane row, the proposal as sublane
+                    # columns; the dot contracts them without a transpose
+                    return jnp.sum(jax.lax.dot_general(
+                        ww, col, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=hi,
+                    ))
+
+                sums_out[0, 0] = wdot(prop[:, 0:1])
+                sums_out[0, 1] = wdot(prop[:, 1:2])
+                sums_out[0, 2] = wdot(jnp.sin(prop[:, 2:3]))
+                sums_out[0, 3] = wdot(jnp.cos(prop[:, 2:3]))
+                sums_out[0, 4] = jnp.sum(ww)
                 sums_out[0, 5] = mx
                 sums_out[0, 6] = 0.0
                 sums_out[0, 7] = 0.0
@@ -393,7 +408,7 @@ def build_mega_step_fn(
 
             pl.run_scoped(
                 scoped,
-                lp_v=pltpu.VMEM((npd, 1), jnp.float32),
+                lp_v=pltpu.VMEM((1, npd), jnp.float32),
                 lsem=pltpu.SemaphoreType.DMA(()),
             )
 
@@ -453,10 +468,10 @@ def build_mega_step_fn(
                 jnp.uint8 if itemsize == 1 else jnp.uint16,
             ),
             pltpu.SemaphoreType.DMA((2, block)),
-            pltpu.SMEM((npd, 1), jnp.int32),  # y0
-            pltpu.SMEM((npd, 1), jnp.int32),  # rem
-            pltpu.SMEM((npd, 1), jnp.float32),  # logp
-            pltpu.VMEM((npd, 1), jnp.float32),  # oob
+            pltpu.SMEM((1, npd), jnp.int32),  # y0
+            pltpu.SMEM((1, npd), jnp.int32),  # rem
+            pltpu.SMEM((1, npd), jnp.float32),  # logp
+            pltpu.VMEM((1, npd), jnp.float32),  # oob
         ],
         interpret=interpret,
     )
