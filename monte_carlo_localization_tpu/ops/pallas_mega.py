@@ -92,6 +92,7 @@ def build_mega_step_fn(
     interpret: bool = False,
     lut_dtype: np.dtype = np.uint8,
     compact_beams: bool | None = None,
+    debug_phases: str = "all",
 ):
     """Returns (mega, info). ``mega(lut3, particles, logw2d, noise, obs
     _lanes, scalars) -> (prop (NP,3), logw2d' (NPS,128), sums (1,8))``.
@@ -198,131 +199,161 @@ def build_mega_step_fn(
             (parts_ref, logw_ref, noise_ref, obs_ref, sca_ref, masks_ref,
              sel_ref, u128_ref, l32_ref, lut_ref,
              prop_out, logw_out, sums_out,
-             win_scratch, dma_sems, y0s, rems, logps, oob_col) = args
+             win_scratch, dma_sems, y0s, rems, logps, oob_col,
+             prop_s) = args
         else:
             (parts_ref, logw_ref, noise_ref, obs_ref, sca_ref, masks_ref,
              u128_ref, l32_ref, lut_ref,
              prop_out, logw_out, sums_out,
-             win_scratch, dma_sems, y0s, rems, logps, oob_col) = args
+             win_scratch, dma_sems, y0s, rems, logps, oob_col,
+             prop_s) = args
             sel_ref = None
         i = pl.program_id(0)
         slot = jax.lax.rem(i, 2)
         nxt = jax.lax.rem(i + 1, 2)
 
         # ---------------- prologue: resample + motion + addresses ------
-        @pl.when(i == 0)
-        def _():
-            u0 = sca_ref[3]
-            lw = logw_ref[:]  # (NPS, 128), pads at _NEG
-            mx = jnp.max(lw)
-            w = jnp.exp(lw - mx)  # pads -> 0
-            lane_cs = jax.lax.dot_general(
-                w, u128_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=hi,
-            )
-            row_tot = lane_cs[:, LANE - 1:LANE]  # (NPS, 1)
-            row_pre = jax.lax.dot_general(
-                l32_ref[:], row_tot, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=hi,
-            )
-            cs = lane_cs + row_pre  # inclusive cumsum, id = sub*128+lane
-            # normalize by the TRUE SCALAR total: a rank-0 reduction
-            # splats fine, while a (1,1) vector slice cannot broadcast to
-            # (NPS,128) in one Mosaic op ("Broadcast in both sublanes and
-            # lanes" — and a two-stage broadcast_to gets folded back)
-            z_tot = jnp.sum(w)
-            g2d = (n / 1.0) * (cs / z_tot) - u0
-            g = g2d.reshape(1, npd)  # flatten relayout
-            gp = pltpu.roll(g, 1, 1)
-            lane_i = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-            gp = jnp.where(lane_i == 0, -u0, gp)
+        if debug_phases in ("all", "no_epi", "pro_only"):
+          @pl.when(i == 0)
+          def _():
+            # particles/noise/prop live in ANY memory and cross to VMEM by
+            # ONE manual DMA here: BlockSpec-managed VMEM operands are
+            # re-copied by the pipeline EVERY grid step (measured ~30 us/
+            # step at three 2 MB operands — 3.4x the whole classic step)
+            def prologue(parts_v, noise_v, iosem):
+              cp_p = pltpu.make_async_copy(parts_ref, parts_v, iosem.at[0])
+              cp_n = pltpu.make_async_copy(noise_ref, noise_v, iosem.at[1])
+              cp_p.start()
+              cp_n.start()
+              cp_p.wait()
+              cp_n.wait()
+              u0 = sca_ref[3]
+              lw = logw_ref[:]  # (NPS, 128), pads at _NEG
+              mx = jnp.max(lw)
+              w = jnp.exp(lw - mx)  # pads -> 0
+              lane_cs = jax.lax.dot_general(
+                  w, u128_ref[:], (((1,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32, precision=hi,
+              )
+              row_tot = lane_cs[:, LANE - 1:LANE]  # (NPS, 1)
+              row_pre = jax.lax.dot_general(
+                  l32_ref[:], row_tot, (((1,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32, precision=hi,
+              )
+              cs = lane_cs + row_pre  # inclusive cumsum, id = sub*128+lane
+              # normalize by the TRUE SCALAR total: a rank-0 reduction
+              # splats fine, while a (1,1) vector slice cannot broadcast to
+              # (NPS,128) in one Mosaic op ("Broadcast in both sublanes and
+              # lanes" — and a two-stage broadcast_to gets folded back)
+              z_tot = jnp.sum(w)
+              g2d = (n / 1.0) * (cs / z_tot) - u0
+              g = g2d.reshape(1, npd)  # flatten relayout
+              gp = pltpu.roll(g, 1, 1)
+              lane_i = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+              gp = jnp.where(lane_i == 0, -u0, gp)
 
-            parts = parts_ref[:]  # (NP, 3)
-            tiles = []
-            for t in range(nps):
-                slots = t * LANE + jax.lax.broadcasted_iota(
-                    jnp.int32, (LANE, 1), 0
-                ).astype(jnp.float32)
-                a = (g >= slots).astype(jnp.float32)  # (128, NP)
-                ap = (gp >= slots).astype(jnp.float32)
-                tiles.append(jax.lax.dot_general(
-                    a - ap, parts, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=hi,
-                ))  # (128, 3)
-            prop = jnp.concatenate(tiles, axis=0)  # (NP, 3)
+              parts = parts_v[:]  # (NP, 3)
+              tiles = []
+              for t in range(nps):
+                  slots = t * LANE + jax.lax.broadcasted_iota(
+                      jnp.int32, (LANE, 1), 0
+                  ).astype(jnp.float32)
+                  # onehot[i, j] = 1[g_{j-1} < i <= g_j] as ONE fused
+                  # select — materializing the two indicator masks
+                  # separately cost 2 MB of extra VMEM transients
+                  onehot = jnp.where(
+                      (g >= slots) & (gp < slots), 1.0, 0.0
+                  )  # (128, NP)
+                  tiles.append(jax.lax.dot_general(
+                      onehot, parts, (((1,), (0,)), ((), ())),
+                      preferred_element_type=jnp.float32, precision=hi,
+                  ))  # (128, 3)
+              prop = jnp.concatenate(tiles, axis=0)  # (NP, 3)
 
-            # ---- motion (displacement form; heuristic applied outside)
-            ds = sca_ref[0]
-            dth = sca_ref[1]
-            straight = sca_ref[2]  # 1.0 = straight branch
-            x = prop[:, 0:1]
-            y = prop[:, 1:2]
-            th = prop[:, 2:3]
-            safe_dth = jnp.where(jnp.abs(dth) < 1e-12, 1.0, dth)
-            chord = ds * (2.0 * jnp.sin(dth * 0.5) / safe_dth)
-            mid = th + dth * 0.5
-            x_arc = x + chord * jnp.cos(mid)
-            y_arc = y + chord * jnp.sin(mid)
-            x_st = x + ds * jnp.cos(th)
-            y_st = y + ds * jnp.sin(th)
-            nz = noise_ref[:]
-            nx = jnp.where(straight > 0.5, x_st, x_arc) + nz[:, 0:1] * dx_s
-            ny = jnp.where(straight > 0.5, y_st, y_arc) + nz[:, 1:2] * dy_s
-            nth = (
-                jnp.where(straight > 0.5, th, th + dth)
-                + nz[:, 2:3] * dth_s
+              # ---- motion (displacement form; heuristic applied outside)
+              ds = sca_ref[0]
+              dth = sca_ref[1]
+              straight = sca_ref[2]  # 1.0 = straight branch
+              x = prop[:, 0:1]
+              y = prop[:, 1:2]
+              th = prop[:, 2:3]
+              safe_dth = jnp.where(jnp.abs(dth) < 1e-12, 1.0, dth)
+              chord = ds * (2.0 * jnp.sin(dth * 0.5) / safe_dth)
+              mid = th + dth * 0.5
+              x_arc = x + chord * jnp.cos(mid)
+              y_arc = y + chord * jnp.sin(mid)
+              x_st = x + ds * jnp.cos(th)
+              y_st = y + ds * jnp.sin(th)
+              nz = noise_v[:]
+              nx = jnp.where(straight > 0.5, x_st, x_arc) + nz[:, 0:1] * dx_s
+              ny = jnp.where(straight > 0.5, y_st, y_arc) + nz[:, 1:2] * dy_s
+              nth = (
+                  jnp.where(straight > 0.5, th, th + dth)
+                  + nz[:, 2:3] * dth_s
+              )
+              # wrap to [-pi, pi) without atan2 (Mosaic has none); the
+              # classic path's arctan2(sin, cos) differs only at the wrap
+              # knife edge
+              nth = nth - two_pi * jnp.floor(nth * inv_2pi + 0.5)
+              prop = jnp.concatenate([nx, ny, nth], axis=1)
+              prop_s[:] = prop
+              cp_o = pltpu.make_async_copy(prop_s, prop_out, iosem.at[2])
+              cp_o.start()
+              cp_o.wait()
+
+              # ---- window addressing (dense LUT: cell -> row identity)
+              gx = ((nx - origin_x) / resolution).astype(jnp.int32)
+              gy = ((ny - origin_y) / resolution).astype(jnp.int32)
+              oob = (
+                  (gx < 0) | (gx >= width) | (gy < 0) | (gy >= height)
+              )
+              cell = (
+                  jnp.clip(gy, 0, height - 1) * width
+                  + jnp.clip(gx, 0, width - 1)
+              )
+              b0 = jnp.round(nth * t_over_2pi).astype(jnp.int32) + base
+              b0 = jnp.where(b0 < 0, b0 + t_bins, b0)
+              b0 = jnp.where(b0 >= t_bins, b0 - t_bins, b0)
+              b0 = jnp.where(b0 < 0, b0 + t_bins, b0)  # base can be < -T/2
+              rem = jax.lax.bitwise_and(b0, eps - 1)
+              y0 = cell * spe + jax.lax.shift_right_logical(b0, eps_shift)
+              y0 = jnp.where(oob, 0, y0)
+              # ROW layout (1, NP) everywhere SMEM is involved: SMEM scratch
+              # is lane-tiled like vector memory, so a (NP, 1) column costs
+              # 128x its payload (2 MB at NP=4096 — over the 1 MB SMEM
+              # budget); a (1, NP) row packs into NP/128 tiles
+              oob_col[:] = (
+                  oob.astype(jnp.float32).reshape(nps, LANE).reshape(1, npd)
+              )
+
+              # hand the per-particle indices to the scalar core: VMEM
+              # staging buffer -> SMEM DMA (the block DMA loop reads them
+              # as scalars)
+              def to_smem(val, smem):
+                  def scoped(tmp, tsem):
+                      tmp[:] = val.reshape(nps, LANE).reshape(1, npd)
+                      pltpu.make_async_copy(tmp, smem, tsem).start()
+                      pltpu.make_async_copy(tmp, smem, tsem).wait()
+
+                  pl.run_scoped(
+                      scoped,
+                      tmp=pltpu.VMEM((1, npd), jnp.int32),
+                      tsem=pltpu.SemaphoreType.DMA(()),
+                  )
+
+              to_smem(y0, y0s)
+              to_smem(rem, rems)
+
+            pl.run_scoped(
+                prologue,
+                parts_v=pltpu.VMEM((npd, 3), jnp.float32),
+                noise_v=pltpu.VMEM((npd, 3), jnp.float32),
+                iosem=pltpu.SemaphoreType.DMA((3,)),
             )
-            # wrap to [-pi, pi) without atan2 (Mosaic has none); the
-            # classic path's arctan2(sin, cos) differs only at the wrap
-            # knife edge
-            nth = nth - two_pi * jnp.floor(nth * inv_2pi + 0.5)
-            prop = jnp.concatenate([nx, ny, nth], axis=1)
-            prop_out[:] = prop
-
-            # ---- window addressing (dense LUT: cell -> row identity)
-            gx = ((nx - origin_x) / resolution).astype(jnp.int32)
-            gy = ((ny - origin_y) / resolution).astype(jnp.int32)
-            oob = (
-                (gx < 0) | (gx >= width) | (gy < 0) | (gy >= height)
-            )
-            cell = (
-                jnp.clip(gy, 0, height - 1) * width
-                + jnp.clip(gx, 0, width - 1)
-            )
-            b0 = jnp.round(nth * t_over_2pi).astype(jnp.int32) + base
-            b0 = jnp.where(b0 < 0, b0 + t_bins, b0)
-            b0 = jnp.where(b0 >= t_bins, b0 - t_bins, b0)
-            b0 = jnp.where(b0 < 0, b0 + t_bins, b0)  # base can be < -T/2
-            rem = jax.lax.bitwise_and(b0, eps - 1)
-            y0 = cell * spe + jax.lax.shift_right_logical(b0, eps_shift)
-            y0 = jnp.where(oob, 0, y0)
-            # ROW layout (1, NP) everywhere SMEM is involved: SMEM scratch
-            # is lane-tiled like vector memory, so a (NP, 1) column costs
-            # 128x its payload (2 MB at NP=4096 — over the 1 MB SMEM
-            # budget); a (1, NP) row packs into NP/128 tiles
-            oob_col[:] = (
-                oob.astype(jnp.float32).reshape(nps, LANE).reshape(1, npd)
-            )
-
-            # hand the per-particle indices to the scalar core: VMEM
-            # staging buffer -> SMEM DMA (the block DMA loop reads them
-            # as scalars)
-            def to_smem(val, smem):
-                def scoped(tmp, tsem):
-                    tmp[:] = val.reshape(nps, LANE).reshape(1, npd)
-                    pltpu.make_async_copy(tmp, smem, tsem).start()
-                    pltpu.make_async_copy(tmp, smem, tsem).wait()
-
-                pl.run_scoped(
-                    scoped,
-                    tmp=pltpu.VMEM((1, npd), jnp.int32),
-                    tsem=pltpu.SemaphoreType.DMA(()),
-                )
-
-            to_smem(y0, y0s)
-            to_smem(rem, rems)
 
         # ---------------- likelihood block pipeline --------------------
+        if debug_phases == "pro_only":
+            return
         def start_dmas(buf, blk):
             for s in range(block):
                 pltpu.make_async_copy(
@@ -372,39 +403,45 @@ def build_mega_step_fn(
             logps[0, i * block + s] = inv_squash * jnp.sum(logp[s])
 
         # ---------------- epilogue: normalize + pose moment sums -------
+        if debug_phases != "all":
+            return
         @pl.when(i == nblocks - 1)
         def _():
             def scoped(lp_v, lsem):
                 pltpu.make_async_copy(logps, lp_v, lsem).start()
                 pltpu.make_async_copy(logps, lp_v, lsem).wait()
-                lane_i = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, npd), 1
-                )
                 lp = lp_v[:]  # (1, NP) row
                 lp = jnp.where(oob_col[:] > 0.5, -1e4, lp)
-                lp = jnp.where(lane_i >= n, _NEG, lp)
-                mx = jnp.max(lp)
-                ww = jnp.exp(lp - mx)  # pads -> 0
-                prop = prop_out[:]
-
-                def wdot(col):
-                    # sum_i ww[i] * col[i] as ONE (1,NP)@(NP,1) MXU dot —
-                    # ww lives as a lane row, the proposal as sublane
-                    # columns; the dot contracts them without a transpose
-                    return jnp.sum(jax.lax.dot_general(
-                        ww, col, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32, precision=hi,
-                    ))
-
-                sums_out[0, 0] = wdot(prop[:, 0:1])
-                sums_out[0, 1] = wdot(prop[:, 1:2])
-                sums_out[0, 2] = wdot(jnp.sin(prop[:, 2:3]))
-                sums_out[0, 3] = wdot(jnp.cos(prop[:, 2:3]))
+                # everything below runs in the dense (NPS, 128) layout:
+                # the first epilogue used (1,NP)@(NP,1) MXU dots for the
+                # moment sums — a degenerate M=N=1 matmul Mosaic lowers
+                # pathologically (measured +1.19 ms/step, 60% of the
+                # whole mega step)
+                lp2 = lp.reshape(nps, LANE)
+                idx2 = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (nps, LANE), 0
+                    ) * LANE
+                    + jax.lax.broadcasted_iota(
+                        jnp.int32, (nps, LANE), 1
+                    )
+                )
+                lp2 = jnp.where(idx2 >= n, _NEG, lp2)
+                mx = jnp.max(lp2)
+                ww = jnp.exp(lp2 - mx)  # pads -> 0
+                prop = prop_s[:]
+                x2 = prop[:, 0:1].reshape(nps, LANE)
+                y2 = prop[:, 1:2].reshape(nps, LANE)
+                th2 = prop[:, 2:3].reshape(nps, LANE)
+                sums_out[0, 0] = jnp.sum(ww * x2)
+                sums_out[0, 1] = jnp.sum(ww * y2)
+                sums_out[0, 2] = jnp.sum(ww * jnp.sin(th2))
+                sums_out[0, 3] = jnp.sum(ww * jnp.cos(th2))
                 sums_out[0, 4] = jnp.sum(ww)
                 sums_out[0, 5] = mx
                 sums_out[0, 6] = 0.0
                 sums_out[0, 7] = 0.0
-                logw_out[:] = (lp - mx).reshape(nps, LANE)
+                logw_out[:] = lp2 - mx
 
             pl.run_scoped(
                 scoped,
@@ -413,9 +450,9 @@ def build_mega_step_fn(
             )
 
     in_specs = [
-        pl.BlockSpec((npd, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),  # particles (one-shot DMA)
         pl.BlockSpec((nps, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((npd, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),  # noise (one-shot DMA)
         (
             pl.BlockSpec((1, LANE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
@@ -448,10 +485,15 @@ def build_mega_step_fn(
     call = pl.pallas_call(
         kernel,
         grid=(nblocks,),
+        # the default scoped-VMEM budget (16 MB) is tight for the
+        # prologue's (128, NP) one-hot transients next to the window
+        # scratch; v5e has headroom above it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((npd, 3), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # prop (one-shot DMA out)
             pl.BlockSpec((nps, LANE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda i: (0, 0),
@@ -472,6 +514,7 @@ def build_mega_step_fn(
             pltpu.SMEM((1, npd), jnp.int32),  # rem
             pltpu.SMEM((1, npd), jnp.float32),  # logp
             pltpu.VMEM((1, npd), jnp.float32),  # oob
+            pltpu.VMEM((npd, 3), jnp.float32),  # prop (persists to epilogue)
         ],
         interpret=interpret,
     )

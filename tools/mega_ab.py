@@ -46,6 +46,9 @@ def main() -> int:
     ap.add_argument("--synthetic", action="store_true",
                     help="768^2 synthetic world instead of the real map")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mega-blocks", default="0",
+                    help="comma list of pallas_block caps for extra mega "
+                         "arms (0 = auto)")
     args = ap.parse_args()
 
     import jax
@@ -80,13 +83,16 @@ def main() -> int:
         print("# map built COMPACT — mega needs dense; aborting",
               file=sys.stderr)
         return 2
-    pf_m = ParticleFilter(
-        pf_c.grid_map,  # share the attached LUT buffer
-        MCLConfig(max_particles=n, raycast_method="lut_pallas",
-                  pallas_mega=True),
-        beam_angles=beams,
-    )
-    assert pf_m._mega_stepper is not None
+    megas = {}
+    for blk in (int(b) for b in args.mega_blocks.split(",")):
+        pf_m = ParticleFilter(
+            pf_c.grid_map,  # share the attached LUT buffer
+            MCLConfig(max_particles=n, raycast_method="lut_pallas",
+                      pallas_mega=True, pallas_block=blk),
+            beam_angles=beams,
+        )
+        assert pf_m._mega_stepper is not None
+        megas[f"mega_b{pf_m._mega_stepper.info['block']}"] = pf_m
 
     pose0 = bench._nearest_free_pose(gm, bench._center_pose(gm))
     q = np.stack(
@@ -100,7 +106,7 @@ def main() -> int:
     scans = np.tile(scan, (args.chain, 1))
 
     arms = {}
-    for name, pf in (("classic", pf_c), ("mega", pf_m)):
+    for name, pf in [("classic", pf_c)] + sorted(megas.items()):
         st = pf.init_pose(pose0, seed=0)
         t0 = time.perf_counter()
         st, poses = pf.step_many(st, actions, scans)  # compile + warm
@@ -138,7 +144,9 @@ def main() -> int:
             )[1])[-1, :2] - pose0[:2]
         ))
         print(f"{name:8s} still tracking: err {err:.3f} m")
-    print(f"\nmega / classic = {meds['mega'] / meds['classic']:.3f}x")
+    for name, med in meds.items():
+        if name != "classic":
+            print(f"{name} / classic = {med / meds['classic']:.3f}x")
     return 0
 
 
