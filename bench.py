@@ -510,20 +510,27 @@ def bench_live(num_particles, num_beams, gm, method="lut_pallas",
             raise RuntimeError("live bench warmup never harvested")
     staleness_ms.clear()
     sunk[0] = 0
-    harvested = 0
-    t0 = time.perf_counter()
+    # three back-to-back measurement windows -> median-of-3 with min/max
+    # (VERDICT round-4 item 3: the pre-round-4 live table was single-run)
+    rates = []
     last_pose = None
-    while time.perf_counter() - t0 < duration_s:
-        p = node.update()
-        if p is not None:
-            last_pose = p
-            harvested += 1  # the one pose per tick NOT sink-published
-            # (chunk intermediates and superseded finals hit the sink)
-    n = sunk[0] + harvested
-    rate = n / (time.perf_counter() - t0)
+    for _ in range(3):
+        staleness_ms.clear()
+        sunk[0] = 0
+        harvested = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < duration_s:
+            p = node.update()
+            if p is not None:
+                last_pose = p
+                harvested += 1  # the one pose per tick NOT sink-published
+                # (chunk intermediates and superseded finals hit the sink)
+        rates.append(
+            (sunk[0] + harvested) / (time.perf_counter() - t0)
+        )
     assert last_pose is None or np.isfinite(last_pose).all()
     stale = float(np.median(staleness_ms)) if staleness_ms else -1.0
-    return rate, stale
+    return _spread(rates), stale
 
 
 def bench_fleet(fleet_size, num_particles, num_beams, maps, method="lut",
@@ -986,15 +993,18 @@ def run_live(quick=False, method="lut_pallas"):
     gm = _load_real_map(CONFIG_MAPS[1])
     out = []
     for k in (1, 8, 32):
-        rate, stale = bench_live(
+        spread, stale = bench_live(
             4000, 60, gm, method=method, live_chunk=k, quick=quick,
         )
         out.append(dict(
             metric=f"live_corrections_per_sec[config#1 map, async depth 4, "
                    f"live_chunk={k}]" + ("[quick]" if quick else ""),
-            value=round(rate, 2),
+            value=round(spread["median"], 2),
             unit="corrections/s",
-            vs_baseline=round(rate / NORTH_STAR_UPDATES_PER_SEC, 4),
+            vs_baseline=round(
+                spread["median"] / NORTH_STAR_UPDATES_PER_SEC, 4
+            ),
+            spread=spread,
             median_pose_staleness_ms=round(stale, 1),
             method=method,
         ))
