@@ -40,6 +40,12 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 SUB = 512  # DMA granularity in BYTES: one (SUB/itemsize/128, 128) subrow
 MAX_RESIDUAL_SHIFTS = 8
+# SMEM budget for the per-particle scalar-prefetch operands (y0, rem
+# [, frac]) of ONE kernel launch. v5e SMEM is 1 MiB and Mosaic prefetches
+# each (rows,) i32/f32 operand whole ("prefetched SMEM operand" alloc);
+# half the space keeps room for the SMEM out blocks and Mosaic's own
+# bookkeeping. Clouds past ~128k rows split into per-chunk launches.
+PREFETCH_SMEM_BUDGET = 512 * 1024
 
 
 def entries_per_subrow(itemsize: int) -> int:
@@ -660,29 +666,62 @@ def build_lut_query_fn(
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        # y0 (N,), rem (N,) [+ frac (N,) f32 when subbin]
-        num_scalar_prefetch=3 if subbin else 2,
-        grid=(n // block,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (block, 1), lambda i, *_: (i, 0), memory_space=pltpu.SMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM(
-                (2, block, y_rows, sub_lanes, LANE),
-                jnp.uint8 if itemsize == 1 else jnp.uint16,
+    def _make_std_call(rows):
+        """The standard kernel's pallas_call for one launch of ``rows``
+        particle rows (a multiple of ``block``; whole members in fleet
+        mode so the obs index map ``i // blocks_per_member`` stays
+        chunk-local). The kernel body is grid-size-agnostic
+        (``pl.num_programs``)."""
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            # y0 (rows,), rem (rows,) [+ frac (rows,) f32 when subbin]
+            num_scalar_prefetch=3 if subbin else 2,
+            grid=(rows // block,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (block, 1), lambda i, *_: (i, 0), memory_space=pltpu.SMEM
             ),
-            pltpu.SemaphoreType.DMA((2, block)),
-        ],
-    )
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (2, block, y_rows, sub_lanes, LANE),
+                    jnp.uint8 if itemsize == 1 else jnp.uint16,
+                ),
+                pltpu.SemaphoreType.DMA((2, block)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+            interpret=interpret,
+        )
 
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
-        interpret=interpret,
-    )
+    # One launch's (rows,) scalar-prefetch operands live whole in SMEM:
+    # past PREFETCH_SMEM_BUDGET rows (~128k at 8 B/row) the launch no
+    # longer compiles ("Allocation would exceed memory", space=smem).
+    # Bigger clouds — the 1M-particle scale line — split into equal
+    # chunks of whole blocks (whole members in fleet mode); each chunk is
+    # its own launch of the SAME kernel and the outputs concatenate.
+    _pf_bytes_per_row = 12 if subbin else 8
+    _max_rows = PREFETCH_SMEM_BUDGET // _pf_bytes_per_row
+    _chunk_unit = (n // num_members) if num_members > 1 else block
+    if n <= _max_rows:
+        launch_rows = n
+    else:
+        if _chunk_unit > _max_rows:
+            raise ValueError(
+                f"per-member particle count {n // num_members} exceeds the "
+                f"per-launch scalar-prefetch SMEM budget ({_max_rows} rows);"
+                " reduce particles per member or chunk members per call"
+            )
+        launch_rows = (_max_rows // _chunk_unit) * _chunk_unit
+    call = _make_std_call(launch_rows)
+    _tail_rows = n % launch_rows
+    call_tail = _make_std_call(_tail_rows) if _tail_rows else None
+    if n_slots > 0 and launch_rows != n:
+        raise ValueError(
+            f"dedup_slots is unsupported past {_max_rows} particles (its "
+            "slot tables are scalar-prefetched whole); disable dedup_slots"
+        )
 
     call_dedup = None
     if n_slots > 0 and dedup_matmul:
@@ -771,6 +810,27 @@ def build_lut_query_fn(
     # pathological 15-minute (or OOM-killed) compile at fleet scale
     npm = max(n // num_members, 1)
     member_subrows = height * width * (row_stride // eps)
+
+    def call_rows(pre_ops, obs_arg, *const_ops):
+        """Run the standard kernel over all n rows: one launch when the
+        scalar-prefetch operands fit SMEM, else per-chunk launches of
+        ``launch_rows`` (+ one tail launch) with the prefetch vectors and
+        the per-member obs operand sliced per chunk; constant operands
+        (masks/sel/LUT) are shared. Output rows concatenate in order."""
+        if launch_rows == n:
+            return call(*pre_ops, obs_arg, *const_ops)
+        outs = []
+        for s0 in range(0, n, launch_rows):
+            c = min(launch_rows, n - s0)
+            fn = call if c == launch_rows else call_tail
+            pre_c = tuple(p[s0:s0 + c] for p in pre_ops)
+            if num_members > 1:
+                m0 = s0 // npm
+                obs_c = obs_arg[m0:m0 + c // npm]
+            else:
+                obs_c = obs_arg
+            outs.append(fn(*pre_c, obs_c, *const_ops))
+        return jnp.concatenate(outs, axis=0)
 
     def query(lut_flat, particles, obs_px, row_map=None, member_base=0,
               origins=None, map_of=None, dims=None, lut_bases=None,
@@ -866,8 +926,8 @@ def build_lut_query_fn(
                     axis=1,
                 )
             obs_lanes = obs2.reshape(-1, 1, LANE)
-            logw = call(
-                *pre, obs_lanes, jnp.asarray(masks_c_np),
+            logw = call_rows(
+                pre, obs_lanes, jnp.asarray(masks_c_np),
                 jnp.asarray(sel_np), lut3,
             )[:, 0]
             return jnp.where(oob, -1e4, logw)
@@ -885,7 +945,7 @@ def build_lut_query_fn(
 
         masks_dev = jnp.asarray(masks_const)
         if call_dedup is None:
-            logw = call(*pre, obs_lanes, masks_dev, lut3)[:, 0]
+            logw = call_rows(pre, obs_lanes, masks_dev, lut3)[:, 0]
             return jnp.where(oob, -1e4, logw)
 
         # ---- unique-window dedup path ----

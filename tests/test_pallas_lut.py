@@ -949,3 +949,136 @@ class TestSubbin:
         assert info["subbin"] is True
         _, info, _, _ = _build(BEAMS_60, 16, height=8, width=8)
         assert info["subbin"] is False
+
+
+class TestChunkedLaunch:
+    """Clouds past the SMEM scalar-prefetch budget split into multiple
+    launches (the 1M-particle scale line: (N,) y0/rem prefetch operands
+    at 8 B/row overflow v5e's 1 MiB SMEM near ~128k rows). The chunked
+    query must be BITWISE identical to the single-launch kernel; the
+    budget is shrunk via monkeypatch so chunking triggers at test scale."""
+
+    def _inputs(self, rng, n, height, width, stride, t, max_range_px=120):
+        lut2d = _make_lut(rng, height * width, stride, t, max_range_px)
+        res = 0.05
+        x = rng.uniform(0.01, width * res - 0.01, n)
+        y = rng.uniform(0.01, height * res - 0.01, n)
+        th = rng.uniform(-2 * math.pi, 2 * math.pi, n)
+        particles = np.stack([x, y, th], 1).astype(np.float32)
+        return lut2d, particles
+
+    def test_chunked_bitwise_matches_single_launch(self, monkeypatch):
+        import monte_carlo_localization_tpu.ops.pallas_lut as mod
+
+        rng = np.random.default_rng(11)
+        n = 96
+        q_ref, _, t, stride = _build(BEAMS_60, n, height=24, width=32)
+        # 32-row budget -> launches of 32, 32, 32 (no tail)
+        monkeypatch.setattr(mod, "PREFETCH_SMEM_BUDGET", 32 * 8)
+        q_chunk, _, t2, stride2 = _build(BEAMS_60, n, height=24, width=32)
+        assert (t2, stride2) == (t, stride)
+        lut2d, particles = self._inputs(rng, n, 24, 32, stride, t)
+        obs = rng.uniform(0, 120, 60).astype(np.float32)
+        a = np.asarray(q_ref(
+            jnp.asarray(lut2d.reshape(-1)), jnp.asarray(particles),
+            jnp.asarray(obs)))
+        b = np.asarray(q_chunk(
+            jnp.asarray(lut2d.reshape(-1)), jnp.asarray(particles),
+            jnp.asarray(obs)))
+        np.testing.assert_array_equal(a, b)
+
+    def test_tail_chunk_and_full_window_path(self, monkeypatch):
+        import monte_carlo_localization_tpu.ops.pallas_lut as mod
+
+        rng = np.random.default_rng(12)
+        n = 80  # 40-row budget -> launch 32 + 32 + TAIL 16
+        q_ref, _, t, stride = _build(
+            BEAMS_60, n, height=24, width=32, compact_beams=False
+        )
+        monkeypatch.setattr(mod, "PREFETCH_SMEM_BUDGET", 40 * 8)
+        q_chunk, _, _, _ = _build(
+            BEAMS_60, n, height=24, width=32, compact_beams=False
+        )
+        lut2d, particles = self._inputs(rng, n, 24, 32, stride, t)
+        obs = rng.uniform(0, 120, 60).astype(np.float32)
+        a = np.asarray(q_ref(
+            jnp.asarray(lut2d.reshape(-1)), jnp.asarray(particles),
+            jnp.asarray(obs)))
+        b = np.asarray(q_chunk(
+            jnp.asarray(lut2d.reshape(-1)), jnp.asarray(particles),
+            jnp.asarray(obs)))
+        np.testing.assert_array_equal(a, b)
+        # and the chunked result still matches the f64 oracle
+        want = _oracle_logw(
+            lut2d, particles.astype(np.float64), obs.astype(np.float64),
+            BEAMS_60, t, 120, height=24, width=32, resolution=0.05,
+            origin_x=0.0, origin_y=0.0,
+        )
+        _assert_close(b, want)
+
+    def test_fleet_members_chunk_on_member_boundaries(self, monkeypatch):
+        import monte_carlo_localization_tpu.ops.pallas_lut as mod
+        from monte_carlo_localization_tpu.ops.pallas_lut import (
+            build_lut_query_fn as _bq,
+        )
+
+        rng = np.random.default_rng(13)
+        n, members = 64, 4  # npm=16 -> 2 members (32 rows) per launch
+        t = suggest_theta_bins(BEAMS_60)
+        stride = required_row_stride(t, BEAMS_60, itemsize=1)
+
+        def build():
+            q, _ = _bq(
+                t, BEAMS_60, n, height=24, width=32, resolution=0.05,
+                origin_x=0.0, origin_y=0.0, max_range_px=120,
+                row_stride=stride, z_hit=Z_HIT, z_short=Z_SHORT,
+                z_max=Z_MAX, z_rand=Z_RAND, sigma_hit=SIGMA,
+                inv_squash=INV_SQUASH, block=16, interpret=True,
+                num_members=members,
+            )
+            return q
+
+        q_ref = build()
+        monkeypatch.setattr(mod, "PREFETCH_SMEM_BUDGET", 32 * 8)
+        q_chunk = build()
+        lut2d, particles = self._inputs(rng, n, 24, 32, stride, t)
+        obs = rng.uniform(0, 120, (members, 60)).astype(np.float32)
+        a = np.asarray(q_ref(
+            jnp.asarray(lut2d.reshape(-1)), jnp.asarray(particles),
+            jnp.asarray(obs)))
+        b = np.asarray(q_chunk(
+            jnp.asarray(lut2d.reshape(-1)), jnp.asarray(particles),
+            jnp.asarray(obs)))
+        np.testing.assert_array_equal(a, b)
+
+    def test_oversized_member_rejected(self, monkeypatch):
+        import monte_carlo_localization_tpu.ops.pallas_lut as mod
+
+        monkeypatch.setattr(mod, "PREFETCH_SMEM_BUDGET", 16 * 8)
+        t = suggest_theta_bins(BEAMS_60)
+        stride = required_row_stride(t, BEAMS_60, itemsize=1)
+        with pytest.raises(ValueError, match="per-member particle count"):
+            mod.build_lut_query_fn(
+                t, BEAMS_60, 64, height=24, width=32, resolution=0.05,
+                origin_x=0.0, origin_y=0.0, max_range_px=120,
+                row_stride=stride, z_hit=Z_HIT, z_short=Z_SHORT,
+                z_max=Z_MAX, z_rand=Z_RAND, sigma_hit=SIGMA,
+                inv_squash=INV_SQUASH, block=16, interpret=True,
+                num_members=2,  # npm=32 > 16-row budget
+            )
+
+    def test_dedup_past_budget_rejected(self, monkeypatch):
+        import monte_carlo_localization_tpu.ops.pallas_lut as mod
+
+        monkeypatch.setattr(mod, "PREFETCH_SMEM_BUDGET", 32 * 8)
+        t = suggest_theta_bins(BEAMS_60)
+        stride = required_row_stride(t, BEAMS_60, itemsize=1)
+        with pytest.raises(ValueError, match="dedup_slots is unsupported"):
+            mod.build_lut_query_fn(
+                t, BEAMS_60, 64, height=24, width=32, resolution=0.05,
+                origin_x=0.0, origin_y=0.0, max_range_px=120,
+                row_stride=stride, z_hit=Z_HIT, z_short=Z_SHORT,
+                z_max=Z_MAX, z_rand=Z_RAND, sigma_hit=SIGMA,
+                inv_squash=INV_SQUASH, block=16, interpret=True,
+                dedup_slots=8,
+            )
