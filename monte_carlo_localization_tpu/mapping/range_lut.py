@@ -172,7 +172,17 @@ def cached_range_lut(
     lut = build_range_lut(
         occupied, t_bins, max_range_px, backend=backend, row_stride=row_stride
     )
-    tmp = path.with_name(path.stem + ".tmp.npy")
-    np.save(tmp, lut)
-    os.replace(tmp, path)
+    # per-process tmp name: concurrent builders of the same entry (e.g.
+    # jax.distributed processes sharing one cache dir) each publish via
+    # their OWN tmp + atomic replace — a shared tmp name let the first
+    # winner's os.replace delete the loser's file mid-save (seen as a
+    # FileNotFoundError race in the 2-process multihost dryrun)
+    tmp = path.with_name(
+        f"{path.stem}.{os.getpid()}-{os.urandom(4).hex()}.tmp.npy"
+    )
+    try:
+        np.save(tmp, lut)
+        os.replace(tmp, path)
+    finally:
+        tmp.unlink(missing_ok=True)
     return lut

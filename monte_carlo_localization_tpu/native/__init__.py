@@ -46,15 +46,21 @@ def _build_and_load() -> ctypes.CDLL | None:
             cache_dir.mkdir(parents=True, exist_ok=True)
             so_path = cache_dir / f"mcl_native_{tag}.so"
             if not so_path.exists():
-                tmp = so_path.with_suffix(".so.tmp")
+                # per-process tmp: concurrent first-use compiles (e.g.
+                # jax.distributed processes) must not share a tmp name —
+                # the winner's os.replace would delete the loser's output
+                tmp = so_path.with_suffix(f".{os.getpid()}.so.tmp")
                 cmd = [
                     "g++", "-O3", "-march=native", "-shared", "-fPIC",
                     "-fopenmp", "-std=c++17", str(_SRC), "-o", str(tmp),
                 ]
-                subprocess.run(
-                    cmd, check=True, capture_output=True, timeout=120
-                )
-                os.replace(tmp, so_path)
+                try:
+                    subprocess.run(
+                        cmd, check=True, capture_output=True, timeout=120
+                    )
+                    os.replace(tmp, so_path)
+                finally:
+                    tmp.unlink(missing_ok=True)
             lib = ctypes.CDLL(str(so_path))
             lib.mcl_edt.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),

@@ -94,6 +94,35 @@ def test_cache_roundtrip(tmp_path):
     assert (np.asarray(a) == np.asarray(b)).all()
 
 
+def test_cache_concurrent_builders(tmp_path):
+    """Concurrent builders of the SAME cache entry (jax.distributed
+    processes or filter threads sharing one cache dir) must each publish
+    through a UNIQUE tmp file — a shared tmp name let the winner's
+    os.replace delete the loser's half-saved file (FileNotFoundError,
+    seen in the 2-process multihost dryrun)."""
+    import threading
+
+    occ = np.asarray(box_world(height=40, width=60).occupied)
+    errs = []
+
+    def build():
+        try:
+            cached_range_lut(occ, 32, 100, cache_dir=tmp_path)
+        except Exception as e:  # noqa: BLE001 - recorded for the assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=build) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert len(list(tmp_path.glob("rlut_*.npy"))) == 1
+    assert not list(tmp_path.glob("*.tmp.npy"))  # no leaked tmp files
+    c = cached_range_lut(occ, 32, 100, cache_dir=tmp_path)
+    assert np.asarray(c).any()
+
+
 def test_filter_with_lut_localizes(clutter_map, beams60, make_scan):
     from monte_carlo_localization_tpu.config import MCLConfig
     from monte_carlo_localization_tpu.filter import ParticleFilter
